@@ -1,0 +1,131 @@
+"""Benchmark driver: decode throughput of the Block Transformer on TPU.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Regime (BASELINE.md / measure_generation_time.py defaults): prefill 128 /
+decode 128 greedy, batch as configured, block_main family model, bf16.
+``vs_baseline`` is the decode-throughput ratio vs the vanilla GPTNeoX
+baseline at matched parameter count measured in the same process — the
+reference's headline claim is this ratio (10-20x at scale; README.md:18).
+"""
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+
+def _enable_compile_cache():
+    import jax
+    cache_dir = os.environ.get("JAX_CACHE_DIR", "/root/repo/.jax_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def bench_block(model_name: str, batch: int, prefill: int, decode: int,
+                dtype_str: str = "bfloat16"):
+    import jax
+    import jax.numpy as jnp
+    from block_transformer_tpu.config import get_config
+    from block_transformer_tpu.models import block_transformer as bt
+    from block_transformer_tpu.inference import generate as gen
+
+    dtype = jnp.bfloat16 if dtype_str == "bfloat16" else jnp.float32
+    cfg = get_config(model_name)
+    params = jax.jit(lambda k: bt.init_block_transformer_params(
+        k, cfg, dtype=dtype))(jax.random.PRNGKey(0))
+    L = cfg.block_length
+    N = prefill // L
+    max_blocks = (prefill + decode) // L
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(1, 50254, size=(batch, N, L)), jnp.int32)
+    att = jnp.ones((batch, N, L), jnp.int32)
+    bam = jnp.ones((batch, N), jnp.int32)
+
+    def run():
+        res = gen.generate_blocks(params, cfg, ids, att, bam,
+                                  max_blocks=max_blocks, greedy=True)
+        jax.block_until_ready(res.tokens)
+        return res
+
+    run()  # warmup + compile
+    n_rep = 3
+    t0 = time.perf_counter()
+    for _ in range(n_rep):
+        run()
+    dt = (time.perf_counter() - t0) / n_rep
+    decode_tokens = batch * decode
+    return decode_tokens / dt, dt
+
+
+def bench_vanilla(name: str, batch: int, prefill: int, decode: int,
+                  dtype_str: str = "bfloat16"):
+    import jax
+    import jax.numpy as jnp
+    from block_transformer_tpu.config import get_vanilla_config
+    from block_transformer_tpu.models import vanilla, neox
+    import functools
+
+    dtype = jnp.bfloat16 if dtype_str == "bfloat16" else jnp.float32
+    cfg = get_vanilla_config(name)
+    params = jax.jit(lambda k: vanilla.init_vanilla_params(
+        k, cfg, dtype=dtype))(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(1, 50254, size=(batch, prefill)), jnp.int32)
+
+    @functools.partial(jax.jit, donate_argnums=(1,))
+    def decode_loop(params, cache, first_tok):
+        def body(i, carry):
+            tok, cache = carry
+            logits, cache = vanilla.vanilla_decode_step(params, cfg, tok, cache)
+            return jnp.argmax(logits, -1).astype(jnp.int32), cache
+        tok, cache = jax.lax.fori_loop(0, decode, body, (first_tok, cache))
+        return tok, cache
+
+    def run():
+        cache = neox.KVCache.create(cfg, batch, prefill + decode, dtype=dtype)
+        logits, cache = jax.jit(vanilla.vanilla_prefill,
+                                static_argnums=(1,))(params, cfg, ids, cache)
+        tok = jnp.argmax(logits, -1).astype(jnp.int32)
+        tok, cache = decode_loop(params, cache, tok)
+        jax.block_until_ready(tok)
+
+    run()
+    n_rep = 3
+    t0 = time.perf_counter()
+    for _ in range(n_rep):
+        run()
+    dt = (time.perf_counter() - t0) / n_rep
+    return batch * decode / dt, dt
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="block_main_b4_5")
+    ap.add_argument("--vanilla", default="vanilla_31")
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--prefill", type=int, default=128)
+    ap.add_argument("--decode", type=int, default=128)
+    ap.add_argument("--dtype", default="bfloat16")
+    args = ap.parse_args()
+
+    _enable_compile_cache()
+    block_tps, _ = bench_block(args.model, args.batch, args.prefill,
+                               args.decode, args.dtype)
+    vanilla_tps, _ = bench_vanilla(args.vanilla, args.batch, args.prefill,
+                                   args.decode, args.dtype)
+    ratio = block_tps / vanilla_tps if vanilla_tps > 0 else 0.0
+    print(json.dumps({
+        "metric": f"decode_tokens_per_sec[{args.model} b{args.batch} "
+                  f"p{args.prefill}/d{args.decode}]",
+        "value": round(block_tps, 1),
+        "unit": "tok/s",
+        "vs_baseline": round(ratio, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,247 @@
+"""Two-level autoregressive generation engine (jitted, static shapes).
+
+TPU-native re-design of ``BlockTransformer.generate``
+(model/block_transformer.py:279-449) and the inner
+``BaseTokenDecoder.generate`` (model/token_decoder/base.py:399-453):
+
+- **outer loop** (one iteration per block = per ``block_length`` tokens):
+  block decoder consumes one block embedding against a persistent
+  fixed-capacity *global* KV cache (grows by ``n_embedding_tokens`` slots
+  per block — the tiny cache behind the paper's 10-20x decode claim),
+- **inner loop**: the token decoder decodes up to ``block_length`` tokens
+  against an *ephemeral local* cache (capacity ``n_expanded_emb +
+  block_length``) that is re-created every block, matching the reference's
+  allocate-and-discard local cache (SURVEY.md §3.2),
+- the whole generate is ONE jitted function: ``lax.while_loop`` outside,
+  ``lax.fori_loop`` inside, output tokens written into a preallocated
+  ``[B, max_blocks, block_length]`` buffer with ``dynamic_update_slice`` —
+  no ``concat`` growth, no retracing across steps.
+
+EOS semantics mirror the reference: a sequence finishes when a generated
+block contains EOS (block_transformer.py:411-416); finished sequences emit
+pad tokens and zero block embeddings (block_transformer.py:383-421); inside
+a block, tokens after EOS are pad (HF GenerationMixin behavior).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from block_transformer_tpu.config import BlockTransformerConfig
+from block_transformer_tpu.models import embedder as emb
+from block_transformer_tpu.models import neox
+from block_transformer_tpu.models import token_decoder as td
+from block_transformer_tpu.ops import masks
+
+
+class GenerationResult(NamedTuple):
+    tokens: jax.Array        # [B, max_blocks, block_length] (prompt + generated)
+    n_blocks: jax.Array      # scalar int32: valid blocks in `tokens`
+    unfinished: jax.Array    # [B] int32
+
+
+def _sample(logits, greedy: bool, temperature: float, key):
+    if greedy:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    return jax.random.categorical(key, logits / temperature, axis=-1).astype(jnp.int32)
+
+
+def decode_block_tokens(params, cfg: BlockTransformerConfig, block_embeddings,
+                        *, greedy: bool = True, temperature: float = 1.0,
+                        key=None, n_tokens: Optional[int] = None):
+    """Inner loop: decode one block of tokens from block embeddings.
+
+    block_embeddings: [B, n_emb, projection_hidden]. Returns tokens [B, L]
+    (pad after EOS within the block). The local KV cache lives entirely
+    inside this function — allocated fresh and discarded, like the
+    reference's per-block ``past_key_values`` (SURVEY.md §3.2).
+    """
+    tcfg = cfg.token_decoder
+    L = cfg.block_length if n_tokens is None else n_tokens
+    n_exp = cfg.n_expanded_emb
+    B = block_embeddings.shape[0]
+    eos = cfg.eos_token_id
+    pad = cfg.pad_token_id
+    if key is None:
+        key = jax.random.PRNGKey(0)
+
+    expanded = td.expand_block_embeddings(params["token_decoder"], tcfg,
+                                          block_embeddings, cfg.expansion_ratio)
+    cache = neox.KVCache.create(tcfg.neox, B, n_exp + L,
+                                dtype=expanded.dtype)
+    logits, cache = td.token_decoder_prefix_step(params["token_decoder"], tcfg,
+                                                 expanded, cache)
+    key, k0 = jax.random.split(key)
+    first = _sample(logits, greedy, temperature, k0)
+    alive = first != eos
+    first = jnp.where(alive, first, pad)
+    tokens0 = jnp.zeros((B, L), jnp.int32).at[:, 0].set(first)
+
+    def body(i, carry):
+        tokens, cache, alive, key = carry
+        key, kk = jax.random.split(key)
+        prev = tokens[:, i - 1]
+        # feed pad for dead rows (their outputs are ignored)
+        logits, cache = td.token_decoder_token_step(
+            params["token_decoder"], tcfg, jnp.where(alive, prev, pad), cache)
+        nxt = _sample(logits, greedy, temperature, kk)
+        emit = jnp.where(alive & (nxt != eos), nxt, pad)
+        alive = alive & (nxt != eos)
+        tokens = tokens.at[:, i].set(emit)
+        return tokens, cache, alive, key
+
+    tokens, _, alive, _ = jax.lax.fori_loop(1, L, body,
+                                            (tokens0, cache, alive, key))
+    return tokens, alive
+
+
+class _GenCarry(NamedTuple):
+    tokens: jax.Array            # [B, max_blocks, L]
+    n_blocks: jax.Array          # int32 blocks written (prompt + generated)
+    next_embeds: jax.Array       # [B, n_emb, ph] block-decoder input
+    cache: neox.KVCache          # global block-level cache
+    kv_valid: jax.Array          # [B, capacity] per-slot validity
+    unfinished: jax.Array        # [B] int32
+    key: jax.Array
+
+
+def _block_decoder_step(params, cfg: BlockTransformerConfig, inputs_embeds,
+                        cache: neox.KVCache, kv_valid, new_valid):
+    """Append ``S = inputs_embeds.shape[1]`` positions to the global cache and
+    run the block decoder. Returns (hidden [B, S, ph], cache, kv_valid)."""
+    B, S, _ = inputs_embeds.shape
+    n = cfg.n_embedding_tokens
+    capacity = cache.k.shape[3]
+    kv_valid = jax.lax.dynamic_update_slice(
+        kv_valid, new_valid.astype(kv_valid.dtype), (0, cache.length))
+    bias = masks.block_decode_step_bias(cache.length, capacity, S, kv_valid, n)
+    positions = cache.length + jnp.arange(S, dtype=jnp.int32)
+    hidden, cache = neox.neox_stack(params["block_decoder"], inputs_embeds,
+                                    cfg=cfg.block_decoder, bias=bias,
+                                    positions=positions, cache=cache)
+    return hidden, cache, kv_valid
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "max_blocks", "greedy",
+                                             "temperature"))
+def generate_blocks(params, cfg: BlockTransformerConfig, input_ids,
+                    attention_mask, block_attention_mask, *, max_blocks: int,
+                    greedy: bool = True, temperature: float = 1.0,
+                    key=None) -> GenerationResult:
+    """Block-format generation: input_ids/attention_mask [B, N, L],
+    block_attention_mask [B, N]; generates until ``max_blocks`` total blocks
+    or all sequences finish. Fully jitted; one trace per (B, N, max_blocks).
+    """
+    B, N, L = input_ids.shape
+    n = cfg.n_embedding_tokens
+    ph = cfg.embedder.projection_hidden_size
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    capacity = max_blocks * n
+
+    # ---- prefill ---------------------------------------------------------
+    block_embeds = emb.embed_blocks(params["embedder"], cfg.embedder,
+                                    cfg.block_length, input_ids)  # [B,N,n,ph]
+    inputs_embeds = block_embeds.reshape(B, N * n, ph)
+    cache = neox.KVCache.create(cfg.block_decoder, B, capacity,
+                                dtype=inputs_embeds.dtype)
+    kv_valid = jnp.zeros((B, capacity), jnp.int32)
+    prompt_valid = jnp.repeat(block_attention_mask.astype(jnp.int32), n, axis=1)
+    hidden, cache, kv_valid = _block_decoder_step(
+        params, cfg, inputs_embeds, cache, kv_valid, prompt_valid)
+    next_embeds = hidden[:, -n:, :]  # output of the last prompt block
+
+    tokens = jnp.zeros((B, max_blocks, L), jnp.int32)
+    tokens = jax.lax.dynamic_update_slice(tokens, input_ids.astype(jnp.int32),
+                                          (0, 0, 0))
+    carry = _GenCarry(tokens=tokens, n_blocks=jnp.int32(N),
+                      next_embeds=next_embeds, cache=cache, kv_valid=kv_valid,
+                      unfinished=jnp.ones((B,), jnp.int32), key=key)
+
+    # ---- outer decode loop ----------------------------------------------
+    def cond(c: _GenCarry):
+        return (c.n_blocks < max_blocks) & (jnp.sum(c.unfinished) > 0)
+
+    def body(c: _GenCarry) -> _GenCarry:
+        key, kb = jax.random.split(c.key)
+        block_emb = c.next_embeds.reshape(B, n, ph)
+        new_tokens, _ = decode_block_tokens(params, cfg, block_emb,
+                                            greedy=greedy,
+                                            temperature=temperature, key=kb)
+        alive = c.unfinished.astype(bool)
+        new_tokens = jnp.where(alive[:, None], new_tokens, cfg.pad_token_id)
+        # finished if any generated token is EOS (block_transformer.py:411-412)
+        has_eos = jnp.any(new_tokens == cfg.eos_token_id, axis=-1)
+        unfinished = c.unfinished * (~has_eos).astype(jnp.int32)
+
+        tokens = jax.lax.dynamic_update_slice(
+            c.tokens, new_tokens[:, None, :], (0, c.n_blocks, 0))
+
+        # re-embed the generated block; zero embeddings for finished rows
+        # (block_transformer.py:418-421)
+        new_block_emb = emb.embed_blocks(params["embedder"], cfg.embedder,
+                                         cfg.block_length, new_tokens)
+        new_block_emb = jnp.where(alive[:, None, None], new_block_emb, 0.0)
+        hidden, cache, kv_valid = _block_decoder_step(
+            params, cfg, new_block_emb.reshape(B, n, ph).astype(c.next_embeds.dtype),
+            c.cache, c.kv_valid,
+            jnp.broadcast_to(unfinished[:, None], (B, n)))
+        return _GenCarry(tokens=tokens, n_blocks=c.n_blocks + 1,
+                         next_embeds=hidden[:, -n:, :], cache=cache,
+                         kv_valid=kv_valid, unfinished=unfinished, key=key)
+
+    final = jax.lax.while_loop(cond, body, carry)
+    return GenerationResult(final.tokens, final.n_blocks, final.unfinished)
+
+
+# ---------------------------------------------------------------------------
+# Vanilla-format convenience wrapper (host-side pre/post processing)
+# ---------------------------------------------------------------------------
+
+def preprocess_inputs(cfg: BlockTransformerConfig, input_ids, attention_mask=None):
+    """Flat [B, T] -> block format with LEFT pad to a block boundary
+    (block_transformer.py:227-266). Returns dict + pad length added."""
+    import numpy as np
+    ids = np.asarray(input_ids)
+    if ids.ndim == 1:
+        ids = ids[None]
+    if attention_mask is None:
+        att = (ids != cfg.pad_token_id).astype(np.int32)
+    else:
+        att = np.asarray(attention_mask).astype(np.int32).reshape(ids.shape)
+    B, T = ids.shape
+    L = cfg.block_length
+    pad_len = (-T) % L
+    if pad_len:
+        ids = np.pad(ids, ((0, 0), (pad_len, 0)), constant_values=cfg.pad_token_id)
+        att = np.pad(att, ((0, 0), (pad_len, 0)), constant_values=0)
+    N = ids.shape[1] // L
+    ids = ids.reshape(B, N, L)
+    att = att.reshape(B, N, L)
+    bam = (att.any(axis=-1)).astype(np.int32)
+    return {"input_ids": ids, "attention_mask": att,
+            "block_attention_mask": bam, "initial_block_padding": pad_len}
+
+
+def generate(params, cfg: BlockTransformerConfig, input_ids,
+             attention_mask=None, max_length: int = 100, greedy: bool = True,
+             temperature: float = 1.0, key=None):
+    """Vanilla-format generate: flat token ids in, flat token ids out
+    (prompt + up to ``max_length`` total tokens, truncated at max_length)."""
+    import numpy as np
+    d = preprocess_inputs(cfg, input_ids, attention_mask)
+    B, N, L = d["input_ids"].shape
+    pad_len = d["initial_block_padding"]
+    max_blocks = N + max(0, -(-(max_length + pad_len - N * L) // L))
+    res = generate_blocks(params, cfg, jnp.asarray(d["input_ids"]),
+                          jnp.asarray(d["attention_mask"]),
+                          jnp.asarray(d["block_attention_mask"]),
+                          max_blocks=max_blocks, greedy=greedy,
+                          temperature=temperature, key=key)
+    toks = np.asarray(res.tokens)[:, :int(res.n_blocks)].reshape(B, -1)
+    toks = toks[:, pad_len:]
+    return toks[:, :max_length]

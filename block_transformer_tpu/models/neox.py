@@ -1,0 +1,268 @@
+"""Functional GPT-NeoX (Pythia) transformer stack in pure JAX.
+
+This is the compute core shared by the block decoder, the token decoder and
+the vanilla baseline. Numerics follow HF ``GPTNeoXModel`` (the backend the
+reference builds on — model/block_decoder/gpt_neo_x.py,
+model/token_decoder/gpt_neo_x.py): partial rotary embeddings (rotary_pct of
+the head dim), parallel attention+MLP residual, exact GeLU, fp32 softmax,
+LayerNorm with bias.
+
+Design (TPU-first):
+- Parameters are plain pytrees with all layers **stacked** on a leading axis
+  so the stack runs as one ``lax.scan`` — one compiled layer body regardless
+  of depth.
+- KV caches are fixed-capacity arrays ``[num_layers, batch, heads, capacity,
+  head_dim]`` updated in place with ``dynamic_update_slice`` (donated under
+  jit), never concatenated.
+- Attention masking is an additive fp32 bias computed once per call by the
+  mask library (ops/masks.py); no data-dependent shapes anywhere.
+
+Weight layout: all kernels are ``[in_features, out_features]``. The fused QKV
+kernel is ``[hidden, 3*hidden]`` with output columns ordered
+``(q|k|v, head, head_dim)`` — i.e. ``jnp.reshape(out, (3, heads, head_dim))``
+splits it. (HF stores ``(head, q|k|v, head_dim)``; the checkpoint importer in
+utils/torch_import.py permutes.)
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from block_transformer_tpu.config import NeoXConfig
+from block_transformer_tpu.ops import attention as attn_ops
+
+
+# ---------------------------------------------------------------------------
+# Parameter init
+# ---------------------------------------------------------------------------
+
+def _dense_init(key, shape, std, dtype):
+    return (std * jax.random.normal(key, shape, jnp.float32)).astype(dtype)
+
+
+def init_layer_params(key, cfg: NeoXConfig, dtype=jnp.float32):
+    """One transformer layer's parameters (unstacked)."""
+    h, m = cfg.hidden_size, cfg.intermediate_size
+    std = cfg.initializer_range
+    ks = jax.random.split(key, 4)
+    return {
+        "ln1": {"scale": jnp.ones((h,), dtype), "bias": jnp.zeros((h,), dtype)},
+        "ln2": {"scale": jnp.ones((h,), dtype), "bias": jnp.zeros((h,), dtype)},
+        "attn": {
+            "qkv": {"kernel": _dense_init(ks[0], (h, 3 * h), std, dtype),
+                    "bias": jnp.zeros((3 * h,), dtype)},
+            "out": {"kernel": _dense_init(ks[1], (h, h), std, dtype),
+                    "bias": jnp.zeros((h,), dtype)},
+        },
+        "mlp": {
+            "up": {"kernel": _dense_init(ks[2], (h, m), std, dtype),
+                   "bias": jnp.zeros((m,), dtype)},
+            "down": {"kernel": _dense_init(ks[3], (m, h), std, dtype),
+                     "bias": jnp.zeros((h,), dtype)},
+        },
+    }
+
+
+def init_neox_params(key, cfg: NeoXConfig, *, with_embed_in: bool = True,
+                     with_lm_head: bool = True, dtype=jnp.float32):
+    """Full stack parameters with layers stacked on axis 0."""
+    keys = jax.random.split(key, cfg.num_layers + 2)
+    layers = [init_layer_params(k, cfg, dtype) for k in keys[:cfg.num_layers]]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs, 0), *layers)
+    params = {
+        "layers": stacked,
+        "final_ln": {"scale": jnp.ones((cfg.hidden_size,), dtype),
+                     "bias": jnp.zeros((cfg.hidden_size,), dtype)},
+    }
+    if with_embed_in:
+        params["embed_in"] = {
+            "weight": _dense_init(keys[-2], (cfg.vocab_size, cfg.hidden_size),
+                                  cfg.initializer_range, dtype)}
+    if with_lm_head:
+        params["embed_out"] = {
+            "kernel": _dense_init(keys[-1], (cfg.hidden_size, cfg.vocab_size),
+                                  cfg.initializer_range, dtype)}
+    return params
+
+
+# ---------------------------------------------------------------------------
+# Building blocks
+# ---------------------------------------------------------------------------
+
+def layer_norm(x, p, eps):
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    return (y * p["scale"].astype(jnp.float32)
+            + p["bias"].astype(jnp.float32)).astype(x.dtype)
+
+
+def dense(x, p):
+    # routes through the unified linear op so INT8/INT4-quantized param
+    # trees (ops/quant.py) run the fused Pallas dequant-matmul on TPU
+    from block_transformer_tpu.ops import linear as linear_ops
+    return linear_ops.apply_linear(x, p)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2))
+def _rope_tables(rotary_dim: int, max_pos: int, theta: float):
+    inv_freq = 1.0 / (theta ** (jnp.arange(0, rotary_dim, 2, dtype=jnp.float32)
+                                / rotary_dim))
+    t = jnp.arange(max_pos, dtype=jnp.float32)
+    freqs = jnp.outer(t, inv_freq)                 # [max_pos, rotary_dim/2]
+    emb = jnp.concatenate([freqs, freqs], axis=-1)  # [max_pos, rotary_dim]
+    return jnp.cos(emb), jnp.sin(emb)
+
+
+def rope_tables(cfg: NeoXConfig, max_pos: Optional[int] = None):
+    return _rope_tables(cfg.rotary_dim, max_pos or cfg.max_position_embeddings,
+                        cfg.rope_theta)
+
+
+def apply_rope(x, cos, sin, positions):
+    """Rotate the first ``rotary_dim`` dims of x ([B, H, S, D]) by position.
+
+    positions: [B, S] or [S] int32 absolute positions.
+    """
+    r = cos.shape[-1]
+    x_rot, x_pass = x[..., :r], x[..., r:]
+    c = cos[positions].astype(jnp.float32)  # [B, S, r] or [S, r]
+    s = sin[positions].astype(jnp.float32)
+    if c.ndim == 2:  # [S, r] -> broadcast over batch and heads
+        c, s = c[None, None], s[None, None]
+    else:            # [B, S, r] -> add head axis
+        c, s = c[:, None], s[:, None]
+    x1, x2 = jnp.split(x_rot.astype(jnp.float32), 2, axis=-1)
+    rotated = jnp.concatenate([-x2, x1], axis=-1)
+    x_rot = (x_rot.astype(jnp.float32) * c + rotated * s).astype(x.dtype)
+    return jnp.concatenate([x_rot, x_pass], axis=-1)
+
+
+class KVCache(NamedTuple):
+    """Fixed-capacity KV cache for the whole stack.
+
+    k, v: [num_layers, batch, heads, capacity, head_dim]
+    length: scalar int32 — number of valid positions (same for every layer).
+    """
+    k: jax.Array
+    v: jax.Array
+    length: jax.Array
+
+    @staticmethod
+    def create(cfg: NeoXConfig, batch: int, capacity: int, dtype=jnp.bfloat16):
+        shape = (cfg.num_layers, batch, cfg.num_heads, capacity, cfg.head_dim)
+        return KVCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype),
+                       jnp.zeros((), jnp.int32))
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+def _attention(q, k, v, bias, impl: str):
+    """q: [B, H, Q, D]; k, v: [B, H, K, D]; bias: additive fp32 [B, 1, Q, K]."""
+    return attn_ops.attention(q, k, v, bias, impl=impl)
+
+
+def neox_layer(p, x, *, cfg: NeoXConfig, bias, cos, sin, positions,
+               cache_kv=None, cache_length=None):
+    """One transformer layer. Returns (hidden, (new_k_slice, new_v_slice)).
+
+    When ``cache_kv=(k_l, v_l)`` is given ([B, H, cap, D] each), new K/V are
+    written at ``cache_length`` and attention runs over the full capacity
+    (masked by ``bias``).
+    """
+    B, S, H = x.shape[0], x.shape[1], cfg.num_heads
+    D = cfg.head_dim
+
+    attn_in = layer_norm(x, p["ln1"], cfg.layer_norm_eps)
+    qkv = dense(attn_in, p["attn"]["qkv"])                    # [B, S, 3h]
+    qkv = qkv.reshape(B, S, 3, H, D).transpose(2, 0, 3, 1, 4)  # [3, B, H, S, D]
+    q, k, v = qkv[0], qkv[1], qkv[2]
+    q = apply_rope(q, cos, sin, positions)
+    k = apply_rope(k, cos, sin, positions)
+
+    if cache_kv is not None:
+        k_cache, v_cache = cache_kv
+        k_full = jax.lax.dynamic_update_slice(
+            k_cache, k.astype(k_cache.dtype), (0, 0, cache_length, 0))
+        v_full = jax.lax.dynamic_update_slice(
+            v_cache, v.astype(v_cache.dtype), (0, 0, cache_length, 0))
+        attn_out = _attention(q, k_full.astype(q.dtype), v_full.astype(q.dtype),
+                              bias, cfg.attn_impl)
+        new_kv = (k_full, v_full)
+    else:
+        attn_out = _attention(q, k, v, bias, cfg.attn_impl)
+        new_kv = None
+
+    attn_out = attn_out.transpose(0, 2, 1, 3).reshape(B, S, H * D)
+    attn_out = dense(attn_out, p["attn"]["out"])
+
+    if cfg.use_parallel_residual:
+        mlp_in = layer_norm(x, p["ln2"], cfg.layer_norm_eps)
+        mlp_out = dense(jax.nn.gelu(dense(mlp_in, p["mlp"]["up"]),
+                                    approximate=False), p["mlp"]["down"])
+        out = x + attn_out + mlp_out
+    else:
+        x = x + attn_out
+        mlp_in = layer_norm(x, p["ln2"], cfg.layer_norm_eps)
+        mlp_out = dense(jax.nn.gelu(dense(mlp_in, p["mlp"]["up"]),
+                                    approximate=False), p["mlp"]["down"])
+        out = x + mlp_out
+    return out, new_kv
+
+
+def neox_stack(params, x, *, cfg: NeoXConfig, bias, positions,
+               cache: Optional[KVCache] = None, remat: bool = False
+               ) -> Tuple[jax.Array, Optional[KVCache]]:
+    """Run the full stack over hidden states x [B, S, h].
+
+    Returns (final-layer-normed hidden states, updated cache or None).
+    """
+    max_pos = cfg.max_position_embeddings
+    if cache is not None:
+        max_pos = max(max_pos, cache.k.shape[3])
+    cos, sin = rope_tables(cfg, max_pos)
+
+    def body(carry, layer_in):
+        h = carry
+        if cache is not None:
+            p, k_l, v_l = layer_in
+            h, (nk, nv) = neox_layer(p, h, cfg=cfg, bias=bias, cos=cos, sin=sin,
+                                     positions=positions, cache_kv=(k_l, v_l),
+                                     cache_length=cache.length)
+            return h, (nk, nv)
+        else:
+            p = layer_in
+            h, _ = neox_layer(p, h, cfg=cfg, bias=bias, cos=cos, sin=sin,
+                              positions=positions)
+            return h, None
+
+    if remat:
+        body = jax.checkpoint(body)
+
+    if cache is not None:
+        xs = (params["layers"], cache.k, cache.v)
+        h, (new_k, new_v) = jax.lax.scan(body, x, xs)
+        new_cache = KVCache(new_k, new_v, cache.length + x.shape[1])
+    else:
+        h, _ = jax.lax.scan(body, x, params["layers"])
+        new_cache = None
+
+    h = layer_norm(h, params["final_ln"], cfg.layer_norm_eps)
+    return h, new_cache
+
+
+def embed_tokens(params, input_ids):
+    return params["embed_in"]["weight"][input_ids]
+
+
+def lm_logits(params, hidden):
+    """Untied LM head (GPTNeoX embed_out): [.., h] -> [.., vocab] fp32."""
+    from block_transformer_tpu.ops import linear as linear_ops
+    return linear_ops.apply_linear(hidden, params["embed_out"]).astype(jnp.float32)

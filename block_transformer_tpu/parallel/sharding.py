@@ -1,0 +1,114 @@
+"""Mesh construction and parameter sharding rules.
+
+One mesh ``(data, model)`` (SURVEY.md §5.8): batch on ``data`` (across
+hosts/DCN), tensor-parallel weight shards on ``model`` (over ICI). This
+replaces the reference's NCCL/DeepSpeed data-parallel-only setup with the
+TPU-native recipe: annotate shardings, let XLA insert the collectives.
+
+TP layout is the standard Megatron split expressed as PartitionSpecs:
+column-parallel QKV/up (output dim on ``model``), row-parallel out/down
+(input dim on ``model``), vocab-sharded embedding and LM head. The global
+block-level KV cache shards on heads over ``model``.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_data: Optional[int] = None, n_model: Optional[int] = None,
+              devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if n_data is None and n_model is None:
+        n_model = 1 if n == 1 else min(4, n)
+        n_data = n // n_model
+    elif n_data is None:
+        n_data = n // n_model
+    elif n_model is None:
+        n_model = n // n_data
+    assert n_data * n_model == n, (n_data, n_model, n)
+    dev = np.asarray(devices).reshape(n_data, n_model)
+    return Mesh(dev, ("data", "model"))
+
+
+# ---------------------------------------------------------------------------
+# Parameter partition specs by path pattern
+# ---------------------------------------------------------------------------
+
+def _neox_pspec(path_tail: tuple) -> P:
+    """Rules for one neox stack (leaves have a stacked layer axis first for
+    'layers' entries; embed/final entries do not)."""
+    p = "/".join(path_tail)
+    rules = {
+        "layers/attn/qkv/kernel": P(None, None, "model"),
+        "layers/attn/qkv/bias": P(None, "model"),
+        "layers/attn/out/kernel": P(None, "model", None),
+        "layers/attn/out/bias": P(None),
+        "layers/mlp/up/kernel": P(None, None, "model"),
+        "layers/mlp/up/bias": P(None, "model"),
+        "layers/mlp/down/kernel": P(None, "model", None),
+        "layers/mlp/down/bias": P(None),
+        "layers/ln1/scale": P(None), "layers/ln1/bias": P(None),
+        "layers/ln2/scale": P(None), "layers/ln2/bias": P(None),
+        "final_ln/scale": P(None), "final_ln/bias": P(None),
+        "embed_in/weight": P(None, None),
+        "embed_out/kernel": P(None, "model"),
+        "expansion/kernel": P(None, "model"),
+        "expansion/bias": P("model"),
+    }
+    return rules[p]
+
+
+def _path_names(path) -> tuple:
+    names = []
+    for k in path:
+        if hasattr(k, "key"):
+            names.append(k.key)
+        elif hasattr(k, "name"):
+            names.append(k.name)
+        else:
+            names.append(str(k))
+    return tuple(names)
+
+
+def param_pspecs(params) -> dict:
+    """PartitionSpec pytree for a block-transformer or vanilla param tree."""
+
+    def spec(path, leaf):
+        names = _path_names(path)
+        if names[0] in ("embedder",):
+            if names[-2:] == ("embeddings", "weight"):
+                return P(None, None)
+            if names[-2:] == ("projection", "kernel"):
+                return P(None, None, None)
+            return P(None)
+        if names[0] in ("block_decoder", "token_decoder"):
+            names = names[1:]
+        return _neox_pspec(names)
+
+    return jax.tree_util.tree_map_with_path(spec, params)
+
+
+def param_shardings(mesh: Mesh, params):
+    return jax.tree.map(lambda s: NamedSharding(mesh, s), param_pspecs(params))
+
+
+def batch_pspec() -> P:
+    return P("data")
+
+
+def shard_params(mesh: Mesh, params):
+    """Place a (host-resident) param tree onto the mesh with TP shardings."""
+    sh = param_shardings(mesh, params)
+    return jax.tree.map(jax.device_put, params, sh)
+
+
+def kv_cache_pspec() -> P:
+    """[layers, batch, heads, capacity, head_dim]: batch on data, heads on
+    model — the tensor-sharded global KV cache of BASELINE.json."""
+    return P(None, "data", "model", None, None)

@@ -1,0 +1,126 @@
+"""Eval harness tests: adapter logit alignment vs direct forward, harness
+driver + metrics with a mock LM, and the multiple-choice/perplexity task
+machinery."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from tests.test_block_parity import make_cfg, VOCAB, L
+from block_transformer_tpu.eval import adapters, harness
+from block_transformer_tpu.models import block_transformer as bt
+from block_transformer_tpu.models import vanilla as vmod
+from block_transformer_tpu.config import NeoXConfig
+
+
+class CharTokenizer:
+    """Maps each character to ord(c) % (VOCAB-2) + 2 (never emits 0/1)."""
+    eos_token_id = 0
+
+    def encode(self, s):
+        return [ord(c) % (VOCAB - 2) + 2 for c in s]
+
+
+def test_vanilla_adapter_alignment():
+    cfg = NeoXConfig(vocab_size=VOCAB, hidden_size=64, num_layers=2,
+                     num_heads=4, intermediate_size=256,
+                     max_position_embeddings=256)
+    params = vmod.init_vanilla_params(jax.random.PRNGKey(0), cfg)
+    lm = adapters.VanillaLM(params, cfg, CharTokenizer(), max_length=128,
+                            batch_size=4)
+    ctx = [5, 6, 7]
+    cont = [8, 9]
+    (ll, greedy), = lm._loglikelihood_tokens([(ctx, cont)])
+    # manual: forward over [5,6,7,8] (input = whole[:-1]); logits[t] predicts
+    # position t+1 of whole
+    whole = ctx + cont
+    logits = np.asarray(vmod.vanilla_forward(
+        params, cfg, jnp.asarray([whole[:-1]], jnp.int32)))
+    lp = logits - np.log(np.exp(logits - logits.max(-1, keepdims=True)
+                                ).sum(-1, keepdims=True)) - logits.max(-1, keepdims=True)
+    want = lp[0, 2, 8] + lp[0, 3, 9]
+    np.testing.assert_allclose(ll, want, rtol=1e-4)
+
+
+def test_block_adapter_alignment():
+    cfg = make_cfg()
+    params = bt.init_block_transformer_params(jax.random.PRNGKey(1), cfg)
+    lm = adapters.BlockTransformerLM(params, cfg, CharTokenizer(),
+                                     max_length=64, batch_size=4)
+    ctx = [5, 6, 7, 8, 9]
+    cont = [10, 11, 12]
+    (ll, greedy), = lm._loglikelihood_tokens([(ctx, cont)])
+
+    # manual reconstruction of the pad-adapter layout:
+    whole = ctx + cont
+    inp = whole[:-1]
+    S = len(inp)
+    left = L - 1
+    total = S + left
+    right = (-total) % L or L
+    total += right
+    ids = np.zeros((1, total), np.int64)
+    ids[0, left:left + S] = inp
+    att = np.zeros_like(ids)
+    att[0, left:left + S] = 1
+    att[0, left + S] = 1   # EOS bit
+    N = total // L
+    out = bt.block_transformer_forward(
+        params, cfg, jnp.asarray(ids.reshape(1, N, L)),
+        jnp.asarray(att.reshape(1, N, L)),
+        jnp.asarray(att.reshape(1, N, L).any(-1).astype(np.int64)))
+    flat = np.asarray(out.logits).reshape(1, (N - 1) * L, -1)[:, :S]
+    lp = flat - np.log(np.exp(flat - flat.max(-1, keepdims=True)
+                              ).sum(-1, keepdims=True)) - flat.max(-1, keepdims=True)
+    # cont tokens are whole[-3:], predicted by logits at input positions
+    # len(whole)-4 .. len(whole)-2
+    want = sum(lp[0, len(whole) - 1 - len(cont) + j, t]
+               for j, t in enumerate(cont))
+    np.testing.assert_allclose(ll, want, rtol=1e-4)
+
+
+class MockLM(harness.LM):
+    """Scores continuation 'good' higher than others."""
+    max_length = 64
+
+    def tok_encode(self, s):
+        return [ord(c) % 50 + 2 for c in s]
+
+    def _loglikelihood_tokens(self, requests):
+        out = []
+        for ctx, cont in requests:
+            score = -1.0 if cont == self.tok_encode(" good") else -5.0
+            out.append((score * max(1, len(cont)), False))
+        return out
+
+
+class ToyMC(harness.MultipleChoiceTask):
+    name = "toy_mc"
+
+    def docs(self):
+        return [{"q": f"question {i}", "gold": 0} for i in range(10)]
+
+    def doc_to_text(self, doc):
+        return doc["q"]
+
+    def doc_to_choices(self, doc):
+        return [" good", " bad"]
+
+    def gold_index(self, doc):
+        return doc["gold"]
+
+
+def test_harness_driver_mc():
+    res = harness.evaluate(MockLM(), [ToyMC()])
+    assert res["results"]["toy_mc"]["acc"] == 1.0
+    assert "acc_norm" in res["results"]["toy_mc"]
+    table = harness.make_table(res)
+    assert "toy_mc" in table
+
+
+def test_perplexity_metrics():
+    pairs = [(-10.0, 5), (-20.0, 10)]
+    wp = harness.weighted_perplexity(pairs)
+    np.testing.assert_allclose(wp, np.exp(30 / 15))
+    bpb = harness.bits_per_byte(pairs)
+    np.testing.assert_allclose(bpb, 30 / 15 / np.log(2))

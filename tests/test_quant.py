@@ -1,0 +1,83 @@
+"""Quantization tests: INT8/INT4 round-trips, the Pallas fused dequant
+matmul vs its XLA-exact reference (interpret mode on CPU), and end-to-end
+quantized model quality (logits close to fp32 at tiny scale)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from block_transformer_tpu.ops import dequant_matmul, linear, quant
+
+
+def test_int8_roundtrip():
+    rng = np.random.default_rng(0)
+    w = jnp.asarray(rng.standard_normal((64, 48)), jnp.float32)
+    w_q, scale = quant.quantize_int8(w)
+    back = quant.dequantize_int8(w_q, scale, jnp.float32)
+    err = np.abs(np.asarray(back) - np.asarray(w)).max()
+    assert err <= float(scale.max()) * 0.51, err  # half-ULP of the grid
+
+
+def test_int4_roundtrip():
+    rng = np.random.default_rng(1)
+    w = jnp.asarray(rng.standard_normal((64, 48)), jnp.float32)
+    packed, scale = quant.quantize_int4(w)
+    assert packed.shape == (32, 48)
+    back = quant.dequantize_int4(packed, scale, jnp.float32)
+    err = np.abs(np.asarray(back) - np.asarray(w)).max()
+    assert err <= float(scale.max()) * 0.51, err
+
+
+def test_int4_unpack_exact():
+    rng = np.random.default_rng(2)
+    q = rng.integers(-7, 8, size=(16, 8)).astype(np.int8)
+    lo = q[0::2].astype(np.uint8) & 0xF
+    hi = (q[1::2].astype(np.uint8) & 0xF) << 4
+    packed = jnp.asarray((lo | hi).astype(np.int8))
+    np.testing.assert_array_equal(np.asarray(quant.unpack_int4(packed)), q)
+
+
+def test_pallas_int8_matmul_interpret():
+    rng = np.random.default_rng(3)
+    for (M, K, N) in [(8, 128, 128), (3, 200, 130), (256, 512, 384)]:
+        x = jnp.asarray(rng.standard_normal((M, K)), jnp.float32)
+        w = jnp.asarray(rng.standard_normal((K, N)), jnp.float32)
+        w_q, scale = quant.quantize_int8(w)
+        want = np.asarray(
+            (jnp.dot(x, w_q.astype(x.dtype)) * scale).astype(x.dtype))
+        got = np.asarray(dequant_matmul.int8_matmul(x, w_q, scale,
+                                                    interpret=True))
+        np.testing.assert_allclose(got, want, atol=1e-3, rtol=1e-3)
+
+
+def test_apply_linear_dispatch():
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.standard_normal((5, 32)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((32, 16)), jnp.float32)
+    b = jnp.asarray(rng.standard_normal((16,)), jnp.float32)
+    fp = linear.apply_linear(x, {"kernel": w, "bias": b})
+    q8 = linear.apply_linear(x, quant.quantize_linear({"kernel": w, "bias": b}, 8),
+                             use_pallas=False)
+    q4 = linear.apply_linear(x, quant.quantize_linear({"kernel": w, "bias": b}, 4))
+    assert np.abs(np.asarray(fp) - np.asarray(q8)).max() < 0.15
+    assert np.abs(np.asarray(fp) - np.asarray(q4)).max() < 2.5
+
+
+def test_quantized_model_close_to_fp():
+    from tests.test_block_parity import make_cfg, make_inputs
+    from block_transformer_tpu.models import block_transformer as bt
+
+    cfg = make_cfg()
+    params = bt.init_block_transformer_params(jax.random.PRNGKey(0), cfg)
+    qparams = quant.quantize_block_transformer(params, bits=8)
+    ids, att, bam = make_inputs()
+    out_fp = bt.block_transformer_forward(params, cfg, jnp.asarray(ids),
+                                          jnp.asarray(att), jnp.asarray(bam))
+    out_q = bt.block_transformer_forward(qparams, cfg, jnp.asarray(ids),
+                                         jnp.asarray(att), jnp.asarray(bam))
+    lp_fp = jax.nn.log_softmax(out_fp.logits, -1)
+    lp_q = jax.nn.log_softmax(out_q.logits, -1)
+    sel = (att[:, 1:, :] * bam[:, 1:, None]).astype(bool)
+    # token-level agreement: quantized argmax matches fp argmax mostly
+    agree = (np.asarray(lp_fp.argmax(-1)) == np.asarray(lp_q.argmax(-1)))[sel]
+    assert agree.mean() > 0.9, agree.mean()
