@@ -118,10 +118,10 @@ def _block_decoder_step(params, cfg: BlockTransformerConfig, inputs_embeds,
     capacity = cache.k.shape[3]
     kv_valid = jax.lax.dynamic_update_slice(
         kv_valid, new_valid.astype(kv_valid.dtype), (0, cache.length))
-    bias = masks.block_decode_step_bias(cache.length, capacity, S, kv_valid, n)
+    mask = masks.block_decode_mask(cache.length, capacity, S, kv_valid, n)
     positions = cache.length + jnp.arange(S, dtype=jnp.int32)
     hidden, cache = neox.neox_stack(params["block_decoder"], inputs_embeds,
-                                    cfg=cfg.block_decoder, bias=bias,
+                                    cfg=cfg.block_decoder, mask=mask,
                                     positions=positions, cache=cache)
     return hidden, cache, kv_valid
 

@@ -36,10 +36,10 @@ def block_decoder_forward(params, cfg: NeoXConfig, inputs_embeds,
     Returns hidden states [B, N * n_emb, hidden] (final layer norm applied).
     """
     B, S, _ = inputs_embeds.shape
-    bias = masks.block_decoder_self_attention_bias(block_attention_mask,
-                                                   n_embedding_tokens)
+    mask = masks.block_decoder_train_mask(block_attention_mask,
+                                          n_embedding_tokens)
     positions = jnp.arange(S, dtype=jnp.int32)
-    hidden, _ = neox.neox_stack(params, inputs_embeds, cfg=cfg, bias=bias,
+    hidden, _ = neox.neox_stack(params, inputs_embeds, cfg=cfg, mask=mask,
                                 positions=positions, remat=remat)
     return hidden
 

@@ -164,12 +164,12 @@ class KVCache(NamedTuple):
 # Forward
 # ---------------------------------------------------------------------------
 
-def _attention(q, k, v, bias, impl: str):
-    """q: [B, H, Q, D]; k, v: [B, H, K, D]; bias: additive fp32 [B, 1, Q, K]."""
-    return attn_ops.attention(q, k, v, bias, impl=impl)
+def _attention(q, k, v, mask, impl: str):
+    """q: [B, H, Q, D]; k, v: [B, H, K, D]; mask: masks.AttnMask."""
+    return attn_ops.attention(q, k, v, mask, impl=impl)
 
 
-def neox_layer(p, x, *, cfg: NeoXConfig, bias, cos, sin, positions,
+def neox_layer(p, x, *, cfg: NeoXConfig, mask, cos, sin, positions,
                cache_kv=None, cache_length=None):
     """One transformer layer. Returns (hidden, (new_k_slice, new_v_slice)).
 
@@ -194,10 +194,10 @@ def neox_layer(p, x, *, cfg: NeoXConfig, bias, cos, sin, positions,
         v_full = jax.lax.dynamic_update_slice(
             v_cache, v.astype(v_cache.dtype), (0, 0, cache_length, 0))
         attn_out = _attention(q, k_full.astype(q.dtype), v_full.astype(q.dtype),
-                              bias, cfg.attn_impl)
+                              mask, cfg.attn_impl)
         new_kv = (k_full, v_full)
     else:
-        attn_out = _attention(q, k, v, bias, cfg.attn_impl)
+        attn_out = _attention(q, k, v, mask, cfg.attn_impl)
         new_kv = None
 
     attn_out = attn_out.transpose(0, 2, 1, 3).reshape(B, S, H * D)
@@ -217,7 +217,7 @@ def neox_layer(p, x, *, cfg: NeoXConfig, bias, cos, sin, positions,
     return out, new_kv
 
 
-def neox_stack(params, x, *, cfg: NeoXConfig, bias, positions,
+def neox_stack(params, x, *, cfg: NeoXConfig, mask, positions,
                cache: Optional[KVCache] = None, remat: bool = False
                ) -> Tuple[jax.Array, Optional[KVCache]]:
     """Run the full stack over hidden states x [B, S, h].
@@ -233,13 +233,13 @@ def neox_stack(params, x, *, cfg: NeoXConfig, bias, positions,
         h = carry
         if cache is not None:
             p, k_l, v_l = layer_in
-            h, (nk, nv) = neox_layer(p, h, cfg=cfg, bias=bias, cos=cos, sin=sin,
+            h, (nk, nv) = neox_layer(p, h, cfg=cfg, mask=mask, cos=cos, sin=sin,
                                      positions=positions, cache_kv=(k_l, v_l),
                                      cache_length=cache.length)
             return h, (nk, nv)
         else:
             p = layer_in
-            h, _ = neox_layer(p, h, cfg=cfg, bias=bias, cos=cos, sin=sin,
+            h, _ = neox_layer(p, h, cfg=cfg, mask=mask, cos=cos, sin=sin,
                               positions=positions)
             return h, None
 

@@ -95,11 +95,11 @@ def token_decoder_train_forward(params, cfg: TokenDecoderConfig,
         tok_embeds = neox.embed_tokens(params, tok_ids)
         x = jnp.concatenate([expanded.astype(tok_embeds.dtype), tok_embeds], axis=1)
         # adapted attention mask: [ones(n_exp), a1..a_{L-1}]
-        bias = masks.token_decoder_self_attention_bias(
+        mask = masks.token_decoder_train_mask(
             attention_mask[:, 1:-1], n_prefix=n_exp)
         S = n_exp + L - 1
         positions = jnp.arange(S, dtype=jnp.int32)
-        hidden, _ = neox.neox_stack(params, x, cfg=cfg.neox, bias=bias,
+        hidden, _ = neox.neox_stack(params, x, cfg=cfg.neox, mask=mask,
                                     positions=positions, remat=remat)
         # drop redundant output prefix of length n_exp - 1 (base.py:321-329)
         hidden = hidden[:, n_exp - 1:, :]                  # [Bb, L, h]
@@ -109,10 +109,10 @@ def token_decoder_train_forward(params, cfg: TokenDecoderConfig,
         tok_ids = input_ids[:, :-1]                        # [BOS, x1..x_{L-1}]
         tok_embeds = neox.embed_tokens(params, tok_ids)
         x = tok_embeds + expanded[:, :L, :].astype(tok_embeds.dtype)
-        bias = masks.token_decoder_self_attention_bias(
+        mask = masks.token_decoder_train_mask(
             attention_mask[:, 1:-1], n_prefix=1)
         positions = jnp.arange(L, dtype=jnp.int32)
-        hidden, _ = neox.neox_stack(params, x, cfg=cfg.neox, bias=bias,
+        hidden, _ = neox.neox_stack(params, x, cfg=cfg.neox, mask=mask,
                                     positions=positions, remat=remat)
     else:
         raise NotImplementedError(cfg.decoding_strategy)
@@ -133,9 +133,9 @@ def token_decoder_prefix_step(params, cfg: TokenDecoderConfig, expanded,
     """
     B, n_exp, _ = expanded.shape
     capacity = cache.k.shape[3]
-    bias = masks.decode_step_bias(cache.length, capacity, n_exp, batch=B)
+    mask = masks.decode_mask(cache.length, capacity, n_exp)
     positions = cache.length + jnp.arange(n_exp, dtype=jnp.int32)
-    hidden, cache = neox.neox_stack(params, expanded, cfg=cfg.neox, bias=bias,
+    hidden, cache = neox.neox_stack(params, expanded, cfg=cfg.neox, mask=mask,
                                     positions=positions, cache=cache)
     return neox.lm_logits(params, hidden[:, -1, :]), cache
 
@@ -146,8 +146,8 @@ def token_decoder_token_step(params, cfg: TokenDecoderConfig, token_ids,
     B = token_ids.shape[0]
     x = neox.embed_tokens(params, token_ids[:, None])       # [B, 1, h]
     capacity = cache.k.shape[3]
-    bias = masks.decode_step_bias(cache.length, capacity, 1, batch=B)
+    mask = masks.decode_mask(cache.length, capacity, 1)
     positions = (cache.length + jnp.arange(1, dtype=jnp.int32))
-    hidden, cache = neox.neox_stack(params, x, cfg=cfg.neox, bias=bias,
+    hidden, cache = neox.neox_stack(params, x, cfg=cfg.neox, mask=mask,
                                     positions=positions, cache=cache)
     return neox.lm_logits(params, hidden[:, -1, :]), cache

@@ -26,8 +26,8 @@ def vanilla_forward(params, cfg: NeoXConfig, input_ids, attention_mask=None,
     B, S = input_ids.shape
     x = neox.embed_tokens(params, input_ids)
     positions = jnp.arange(S, dtype=jnp.int32)
-    bias = masks.causal_bias(positions, positions, kv_valid=attention_mask)
-    hidden, _ = neox.neox_stack(params, x, cfg=cfg, bias=bias,
+    mask = masks.causal_mask(positions, positions, kv_valid=attention_mask)
+    hidden, _ = neox.neox_stack(params, x, cfg=cfg, mask=mask,
                                 positions=positions, remat=remat)
     return neox.lm_logits(params, hidden)
 
@@ -51,14 +51,13 @@ def vanilla_prefill(params, cfg: NeoXConfig, input_ids, cache: neox.KVCache,
     B, S = input_ids.shape
     x = neox.embed_tokens(params, input_ids)
     capacity = cache.k.shape[3]
-    bias = masks.decode_step_bias(cache.length, capacity, S, batch=B)
+    kv_valid = None
     if attention_mask is not None:
         pad = jnp.zeros((B, capacity - S), attention_mask.dtype)
         kv_valid = jnp.concatenate([attention_mask, pad], axis=1)
-        bias = masks.decode_step_bias(cache.length, capacity, S,
-                                      kv_valid=kv_valid, batch=B)
+    mask = masks.decode_mask(cache.length, capacity, S, kv_valid=kv_valid)
     positions = cache.length + jnp.arange(S, dtype=jnp.int32)
-    hidden, cache = neox.neox_stack(params, x, cfg=cfg, bias=bias,
+    hidden, cache = neox.neox_stack(params, x, cfg=cfg, mask=mask,
                                     positions=positions, cache=cache)
     return neox.lm_logits(params, hidden[:, -1, :]), cache
 
@@ -68,8 +67,8 @@ def vanilla_decode_step(params, cfg: NeoXConfig, token_ids, cache: neox.KVCache)
     B = token_ids.shape[0]
     x = neox.embed_tokens(params, token_ids[:, None])
     capacity = cache.k.shape[3]
-    bias = masks.decode_step_bias(cache.length, capacity, 1, batch=B)
+    mask = masks.decode_mask(cache.length, capacity, 1)
     positions = cache.length + jnp.arange(1, dtype=jnp.int32)
-    hidden, cache = neox.neox_stack(params, x, cfg=cfg, bias=bias,
+    hidden, cache = neox.neox_stack(params, x, cfg=cfg, mask=mask,
                                     positions=positions, cache=cache)
     return neox.lm_logits(params, hidden[:, -1, :]), cache

@@ -19,10 +19,41 @@ Semantics encoded here (the parity-critical part — SURVEY.md §7.3):
 
 from __future__ import annotations
 
+from typing import NamedTuple, Optional
+
 import jax
 import jax.numpy as jnp
 
 NEG_INF = jnp.float32(-1e30)
+
+
+class AttnMask(NamedTuple):
+    """Structured attention mask: ``allowed[b, q, k] = kv_idx[k] <= q_idx[q]
+    (and kv_valid[b, k])``.
+
+    ``q_idx`` / ``kv_idx`` are *comparison indices*: token positions for
+    ordinary causal attention, block indices for the block decoder's
+    block-causal pattern. Fixed-capacity cache slots beyond the write
+    frontier carry indices greater than every query index, so decode-step
+    masking falls out of the same comparison. The Pallas flash kernel
+    consumes these vectors directly; the XLA path materializes ``bias()``.
+    """
+
+    q_idx: jax.Array                   # [Q] or [B, Q] int32
+    kv_idx: jax.Array                  # [K] int32
+    kv_valid: Optional[jax.Array]      # [B, K] (1 = usable key) or None
+
+    def allowed(self) -> jax.Array:
+        """[B, Q, K] bool (B=1 when unbatched q_idx and no kv_valid)."""
+        q = self.q_idx if self.q_idx.ndim == 2 else self.q_idx[None]
+        ok = self.kv_idx[None, None, :] <= q[:, :, None]
+        if self.kv_valid is not None:
+            ok = ok & (self.kv_valid[:, None, :] != 0)
+        return ok
+
+    def bias(self) -> jax.Array:
+        """Additive fp32 [B, 1, Q, K] (0 attendable / NEG_INF masked)."""
+        return jnp.where(self.allowed(), 0.0, NEG_INF)[:, None].astype(jnp.float32)
 
 
 def _ar(n):
@@ -123,3 +154,45 @@ def block_decode_step_bias(cache_length, capacity: int, q_len: int,
     ok = jnp.broadcast_to(ok[None], (B, q_len, capacity))
     ok = ok & (block_kv_valid[:, None, :] != 0)
     return jnp.where(ok, 0.0, NEG_INF)[:, None].astype(jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# Structured-mask constructors (AttnMask) — preferred API
+# ---------------------------------------------------------------------------
+
+def causal_mask(q_positions, kv_positions, kv_valid=None) -> AttnMask:
+    return AttnMask(jnp.asarray(q_positions, jnp.int32),
+                    jnp.asarray(kv_positions, jnp.int32),
+                    None if kv_valid is None else jnp.asarray(kv_valid))
+
+
+def block_decoder_train_mask(block_attention_mask, n_embedding_tokens: int
+                             ) -> AttnMask:
+    B, N = block_attention_mask.shape
+    S = N * n_embedding_tokens
+    idx = _ar(S) // n_embedding_tokens
+    kv_valid = jnp.repeat(block_attention_mask, n_embedding_tokens, axis=1)
+    return AttnMask(idx, idx, kv_valid)
+
+
+def token_decoder_train_mask(attention_mask, n_prefix: int) -> AttnMask:
+    B, T = attention_mask.shape
+    S = n_prefix + T
+    valid = jnp.concatenate(
+        [jnp.ones((B, n_prefix), attention_mask.dtype), attention_mask], axis=1)
+    return AttnMask(_ar(S), _ar(S), valid)
+
+
+def decode_mask(cache_length, capacity: int, q_len: int, kv_valid=None
+                ) -> AttnMask:
+    """Queries at absolute positions [cache_length, cache_length+q_len)
+    against a fixed-capacity cache (unwritten slots mask out via the index
+    comparison)."""
+    return AttnMask(cache_length + _ar(q_len), _ar(capacity), kv_valid)
+
+
+def block_decode_mask(cache_length, capacity: int, q_len: int,
+                      block_kv_valid, n_embedding_tokens: int = 1) -> AttnMask:
+    q_idx = (cache_length + _ar(q_len)) // n_embedding_tokens
+    kv_idx = _ar(capacity) // n_embedding_tokens
+    return AttnMask(q_idx, kv_idx, block_kv_valid)

@@ -114,8 +114,72 @@ def _opt_state_pspecs(tx, params, pspecs):
     return jax.tree.map(spec_for, opt_shape)
 
 
+def make_sharded_grad_and_apply(mesh, cfg: BlockTransformerConfig, tx,
+                                params, remat: bool = True):
+    """(grad_fn, apply_fn) for exact gradient accumulation: grad_fn computes
+    per-micro-batch grads+metrics; apply_fn applies the mean grad once."""
+    loss_fn = make_loss_fn(cfg, remat)
+    pspecs = sh.param_pspecs(params)
+    opt_pspecs = _opt_state_pspecs(tx, params, pspecs)
+    state_spec = TrainState(params=pspecs, opt_state=opt_pspecs, step=P())
+    batch_spec = {k: P("data") for k in
+                  ("input_ids", "attention_mask", "block_attention_mask",
+                   "labels")}
+
+    def to_sh(tree_spec):
+        return jax.tree.map(lambda s: NamedSharding(mesh, s), tree_spec,
+                            is_leaf=lambda x: isinstance(x, P))
+
+    def grad_step(params, batch, grads_acc):
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, batch)
+        grads_acc = jax.tree.map(lambda a, g: a + g.astype(a.dtype),
+                                 grads_acc, grads)
+        return grads_acc, metrics
+
+    def apply_step(state: TrainState, grads, n_accum):
+        grads = jax.tree.map(lambda g: (g / n_accum).astype(g.dtype), grads)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = jax.tree.map(lambda p, u: p + u.astype(p.dtype),
+                                  state.params, updates)
+        gn = jnp.sqrt(sum(jnp.sum(jnp.square(g.astype(jnp.float32)))
+                          for g in jax.tree.leaves(grads)))
+        return TrainState(new_params, opt_state, state.step + 1), gn
+
+    grad_fn = jax.jit(grad_step,
+                      in_shardings=(to_sh(pspecs), to_sh(batch_spec),
+                                    to_sh(pspecs)),
+                      out_shardings=(to_sh(pspecs), None),
+                      donate_argnums=(2,))
+    apply_fn = jax.jit(apply_step,
+                       in_shardings=(to_sh(state_spec), to_sh(pspecs), None),
+                       out_shardings=(to_sh(state_spec), None),
+                       donate_argnums=(0, 1))
+    zeros_fn = jax.jit(lambda p: jax.tree.map(
+        lambda x: jnp.zeros(x.shape, jnp.float32), p),
+        in_shardings=(to_sh(pspecs),), out_shardings=to_sh(pspecs))
+    return grad_fn, apply_fn, zeros_fn
+
+
 def create_train_state(key, cfg: BlockTransformerConfig, tx,
                        dtype=jnp.float32) -> TrainState:
     params = bt.init_block_transformer_params(key, cfg, dtype=dtype)
     return TrainState(params=params, opt_state=tx.init(params),
                       step=jnp.zeros((), jnp.int32))
+
+
+def shard_state(mesh, tx, state: TrainState) -> TrainState:
+    """Place params + optimizer state on the mesh per the TP specs."""
+    pspecs = sh.param_pspecs(state.params)
+    opt_pspecs = _opt_state_pspecs(tx, state.params, pspecs)
+
+    def put(tree, spec_tree):
+        shardings = jax.tree.map(
+            lambda s: NamedSharding(mesh, s), spec_tree,
+            is_leaf=lambda x: isinstance(x, P))
+        return jax.tree.map(jax.device_put, tree, shardings)
+
+    return TrainState(params=put(state.params, pspecs),
+                      opt_state=put(state.opt_state, opt_pspecs),
+                      step=jax.device_put(state.step,
+                                          NamedSharding(mesh, P())))
