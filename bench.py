@@ -25,16 +25,22 @@ def _enable_compile_cache():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
-def bench_block(model_name: str, batch: int, prefill: int, decode: int,
+def bench_block(model_name: str, batch, prefill: int, decode: int,
                 dtype_str: str = "bfloat16"):
     import jax
     import jax.numpy as jnp
     from block_transformer_tpu.config import get_config
     from block_transformer_tpu.models import block_transformer as bt
     from block_transformer_tpu.inference import generate as gen
+    from block_transformer_tpu.utils import hbm
 
     dtype = jnp.bfloat16 if dtype_str == "bfloat16" else jnp.float32
     cfg = get_config(model_name)
+    if batch == "auto":
+        batch = hbm.auto_batch(
+            lambda b: hbm.block_model_bytes(cfg, b, prefill, decode))
+        print(f"[bench] block auto batch -> {batch}", flush=True)
+    batch = int(batch)
     params = jax.jit(lambda k: bt.init_block_transformer_params(
         k, cfg, dtype=dtype))(jax.random.PRNGKey(0))
     L = cfg.block_length
@@ -58,19 +64,25 @@ def bench_block(model_name: str, batch: int, prefill: int, decode: int,
         run()
     dt = (time.perf_counter() - t0) / n_rep
     decode_tokens = batch * decode
-    return decode_tokens / dt, dt
+    return decode_tokens / dt, batch
 
 
-def bench_vanilla(name: str, batch: int, prefill: int, decode: int,
+def bench_vanilla(name: str, batch, prefill: int, decode: int,
                   dtype_str: str = "bfloat16"):
     import jax
     import jax.numpy as jnp
     from block_transformer_tpu.config import get_vanilla_config
     from block_transformer_tpu.models import vanilla, neox
+    from block_transformer_tpu.utils import hbm
     import functools
 
     dtype = jnp.bfloat16 if dtype_str == "bfloat16" else jnp.float32
     cfg = get_vanilla_config(name)
+    if batch == "auto":
+        batch = hbm.auto_batch(
+            lambda b: hbm.vanilla_model_bytes(cfg, b, prefill, decode))
+        print(f"[bench] vanilla auto batch -> {batch}", flush=True)
+    batch = int(batch)
     params = jax.jit(lambda k: vanilla.init_vanilla_params(
         k, cfg, dtype=dtype))(jax.random.PRNGKey(0))
     rng = np.random.default_rng(0)
@@ -99,28 +111,33 @@ def bench_vanilla(name: str, batch: int, prefill: int, decode: int,
     for _ in range(n_rep):
         run()
     dt = (time.perf_counter() - t0) / n_rep
-    return batch * decode / dt, dt
+    return batch * decode / dt, batch
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="block_main_b4_5")
     ap.add_argument("--vanilla", default="vanilla_31")
-    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--batch", default="32",
+                    help="int or 'auto' (per-model static-HBM batch search)")
     ap.add_argument("--prefill", type=int, default=128)
     ap.add_argument("--decode", type=int, default=128)
     ap.add_argument("--dtype", default="bfloat16")
     args = ap.parse_args()
 
     _enable_compile_cache()
-    block_tps, _ = bench_block(args.model, args.batch, args.prefill,
-                               args.decode, args.dtype)
-    vanilla_tps, _ = bench_vanilla(args.vanilla, args.batch, args.prefill,
-                                   args.decode, args.dtype)
+    block_tps, block_batch = bench_block(args.model, args.batch, args.prefill,
+                                         args.decode, args.dtype)
+    import gc
+    gc.collect()
+    vanilla_tps, vanilla_batch = bench_vanilla(args.vanilla, args.batch,
+                                               args.prefill, args.decode,
+                                               args.dtype)
     ratio = block_tps / vanilla_tps if vanilla_tps > 0 else 0.0
     print(json.dumps({
-        "metric": f"decode_tokens_per_sec[{args.model} b{args.batch} "
-                  f"p{args.prefill}/d{args.decode}]",
+        "metric": f"decode_tokens_per_sec[{args.model} b{block_batch} "
+                  f"p{args.prefill}/d{args.decode} vs {args.vanilla} "
+                  f"b{vanilla_batch}]",
         "value": round(block_tps, 1),
         "unit": "tok/s",
         "vs_baseline": round(ratio, 3),

@@ -103,10 +103,21 @@ class PackedDataset:
         ids, att = self.positions_to_tokens(p)
         return {"index": idx, "input_ids": ids, "attention_mask": att}
 
-    def get_batch(self, idxs: np.ndarray):
-        """Vectorized batch fetch: [B] -> dict of [B, max_length]."""
+    def get_batch(self, idxs: np.ndarray, use_native: bool = True):
+        """Batch fetch: [B] -> dict of [B, max_length].
+
+        Uses the C++ packer (data/native.py, csrc/packer.cpp) when
+        available; falls back to the vectorized numpy mapping (identical
+        output, tested against each other)."""
         idxs = np.asarray(idxs, np.int64)
         starts = (idxs * self.max_length) % self.padded_total_length
+        if use_native:
+            from block_transformer_tpu.data import native
+            out = native.pack_batch_native(self, starts)
+            if out is not None:
+                ids, att = out
+                return {"input_ids": ids.astype(np.int64),
+                        "attention_mask": att.astype(np.int64)}
         p = starts[:, None] + np.arange(self.max_length, dtype=np.int64)[None]
         ids, att = self.positions_to_tokens(p.reshape(-1))
         return {"input_ids": ids.reshape(len(idxs), -1),

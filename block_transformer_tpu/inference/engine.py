@@ -1,0 +1,327 @@
+"""Continuous-batching serving engine (slot-based, block-synchronous).
+
+The batch-serving layer of the build plan (SURVEY.md §7.2 step 5): a fixed
+pool of ``n_slots`` sequence slots decodes **block-synchronously** — every
+engine step produces one block (``block_length`` tokens) for every active
+slot, the TPU-friendly generalization of the reference's
+``unfinished_sequences`` bookkeeping (model/block_transformer.py:360-426).
+Prompts are admitted into free slots between steps; a slot's region of the
+global block-level KV cache is reset and re-prefilled on admission, while
+other slots' caches persist — the two-level cache makes this cheap (the
+global cache holds ONE vector per block, so even a 2048-token prompt is a
+512-position prefill).
+
+All device work happens in two jitted functions (per padded prompt-length
+bucket): ``_prefill_slot`` and ``_decode_step``; the scheduler is host-side
+Python, matching the design where XLA owns the math and the runtime owns
+admission/eviction.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+from typing import Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from block_transformer_tpu.config import BlockTransformerConfig
+from block_transformer_tpu.inference import generate as gen
+from block_transformer_tpu.models import embedder as emb
+from block_transformer_tpu.models import neox
+from block_transformer_tpu.models import token_decoder as td
+from block_transformer_tpu.ops import masks
+
+
+@dataclass
+class Request:
+    uid: int
+    prompt: np.ndarray              # [T] token ids
+    max_new_tokens: int
+    generated: List[int] = field(default_factory=list)
+    done: bool = False
+    stream: Optional[Callable[[int, List[int]], None]] = None
+
+
+@dataclass
+class EngineStats:
+    steps: int = 0
+    tokens_generated: int = 0
+    prompts_admitted: int = 0
+    prompts_finished: int = 0
+
+
+class ContinuousBatchingEngine:
+    def __init__(self, params, cfg: BlockTransformerConfig, *, n_slots: int = 8,
+                 max_blocks: int = 512, greedy: bool = True,
+                 temperature: float = 1.0, seed: int = 0):
+        self.params = params
+        self.cfg = cfg
+        self.n_slots = n_slots
+        self.max_blocks = max_blocks
+        self.greedy = greedy
+        self.temperature = temperature
+        n = cfg.n_embedding_tokens
+        ph = cfg.embedder.projection_hidden_size
+        dtype = jax.tree.leaves(params)[0].dtype
+        cap = max_blocks * n
+
+        # persistent device state (global cache + per-slot bookkeeping)
+        self.cache = neox.KVCache.create(cfg.block_decoder, n_slots, cap,
+                                         dtype=dtype)
+        # per-slot cache write positions differ -> carry per-slot lengths and
+        # use position-indexed masks
+        self.slot_len = jnp.zeros((n_slots,), jnp.int32)     # blocks used
+        self.kv_valid = jnp.zeros((n_slots, cap), jnp.int32)
+        self.next_embeds = jnp.zeros((n_slots, n, ph), dtype)
+        self.key = jax.random.PRNGKey(seed)
+
+        # host-side bookkeeping
+        self.active: Dict[int, Request] = {}   # slot -> request
+        self.waiting: List[Request] = []
+        self.stats = EngineStats()
+        self._uid = 0
+
+        self._prefill = functools.lru_cache(maxsize=None)(self._make_prefill)
+        self._decode = self._make_decode()
+
+    # ------------------------------------------------------------------
+    def submit(self, prompt, max_new_tokens: int,
+               stream: Optional[Callable] = None) -> int:
+        self._uid += 1
+        self.waiting.append(Request(self._uid, np.asarray(prompt, np.int32),
+                                    max_new_tokens, stream=stream))
+        return self._uid
+
+    def has_work(self) -> bool:
+        return bool(self.waiting or self.active)
+
+    # ------------------------------------------------------------------
+    def _make_prefill(self, n_prompt_blocks: int):
+        cfg = self.cfg
+        n = cfg.n_embedding_tokens
+        cap = self.max_blocks * n
+
+        @jax.jit
+        def prefill(params, cache, kv_valid, next_embeds, slot, ids, att, bam):
+            """Reset one slot and prefill its cache region.
+
+            ids/att: [1, N, L]; bam: [1, N]; slot: scalar int32.
+            Because every slot's keys live in the same [n_slots, ...] cache,
+            we write at rows [slot] with lax.dynamic_update_index_in_dim.
+            """
+            be = emb.embed_blocks(params["embedder"], cfg.embedder,
+                                  cfg.block_length, ids)       # [1, N, n, ph]
+            x = be.reshape(1, -1, be.shape[-1])
+            S = x.shape[1]
+            valid_row = jnp.zeros((1, cap), jnp.int32)
+            valid_row = jax.lax.dynamic_update_slice(
+                valid_row, jnp.repeat(bam.astype(jnp.int32), n, axis=1), (0, 0))
+            mask = masks.block_decode_mask(jnp.int32(0), cap, S, valid_row, n)
+            positions = jnp.arange(S, dtype=jnp.int32)
+            # one-row cache view for this slot
+            row_cache = neox.KVCache(
+                k=jnp.zeros_like(cache.k[:, :1]),
+                v=jnp.zeros_like(cache.v[:, :1]),
+                length=jnp.int32(0))
+            hidden, row_cache = neox.neox_stack(
+                params["block_decoder"], x.astype(cache.k.dtype),
+                cfg=cfg.block_decoder, mask=mask, positions=positions,
+                cache=row_cache)
+            # scatter the row back into the pooled cache/state
+            new_k = jax.lax.dynamic_update_index_in_dim(cache.k, row_cache.k[:, 0],
+                                                        slot, axis=1)
+            new_v = jax.lax.dynamic_update_index_in_dim(cache.v, row_cache.v[:, 0],
+                                                        slot, axis=1)
+            kv_valid = jax.lax.dynamic_update_index_in_dim(
+                kv_valid, valid_row[0], slot, axis=0)
+            next_embeds = jax.lax.dynamic_update_index_in_dim(
+                next_embeds, hidden[0, -n:, :].astype(next_embeds.dtype),
+                slot, axis=0)
+            return neox.KVCache(new_k, new_v, cache.length), kv_valid, next_embeds
+
+        return prefill
+
+    def _make_decode(self):
+        cfg = self.cfg
+        n = cfg.n_embedding_tokens
+        ph = cfg.embedder.projection_hidden_size
+        cap = self.max_blocks * n
+
+        @jax.jit
+        def decode_step(params, cache, kv_valid, next_embeds, slot_len,
+                        active_mask, key):
+            """One block for every active slot. Per-slot write offsets differ,
+            so K/V appends scatter at [slot, :, slot_len[slot]*n, :]."""
+            B = next_embeds.shape[0]
+            key, kb = jax.random.split(key)
+            tokens, inner_alive = gen.decode_block_tokens(
+                params, cfg, next_embeds, greedy=self.greedy,
+                temperature=self.temperature, key=kb)
+            tokens = jnp.where(active_mask[:, None], tokens, cfg.pad_token_id)
+            has_eos = active_mask & ~inner_alive
+
+            # embed the new block and run the block decoder one step per slot
+            new_be = emb.embed_blocks(params["embedder"], cfg.embedder,
+                                      cfg.block_length, tokens)  # [B, n, ph]
+            new_be = jnp.where(active_mask[:, None, None], new_be, 0.0)
+
+            # per-slot positions: q position = slot_len (in blocks)
+            q_idx = jnp.broadcast_to(slot_len[:, None], (B, n))  # block ids
+            kv_idx = (jnp.arange(cap, dtype=jnp.int32) // n)
+            write_pos = slot_len * n
+            valid_new = active_mask.astype(jnp.int32)
+            kv_valid2 = _scatter_valid(kv_valid, write_pos, valid_new, n)
+            mask = masks.AttnMask(q_idx, kv_idx, kv_valid2)
+            positions = write_pos[:, None] + jnp.arange(n, dtype=jnp.int32)[None]
+
+            hidden, cache2 = _per_slot_stack(params["block_decoder"],
+                                             cfg.block_decoder,
+                                             new_be.astype(cache.k.dtype),
+                                             mask, positions, cache, write_pos)
+            next_embeds2 = hidden[:, -n:, :].astype(next_embeds.dtype)
+            next_embeds2 = jnp.where(active_mask[:, None, None],
+                                     next_embeds2, next_embeds)
+            slot_len2 = slot_len + valid_new
+            return (tokens, has_eos, cache2, kv_valid2, next_embeds2,
+                    slot_len2, key)
+
+        return decode_step
+
+    # ------------------------------------------------------------------
+    def _admit(self):
+        free = [s for s in range(self.n_slots) if s not in self.active]
+        L = self.cfg.block_length
+        while free and self.waiting:
+            slot = free.pop(0)
+            req = self.waiting.pop(0)
+            d = gen.preprocess_inputs(self.cfg, req.prompt[None])
+            N = d["input_ids"].shape[1]
+            if N + (req.max_new_tokens + L - 1) // L >= self.max_blocks:
+                req.done = True   # too long for the pool
+                continue
+            prefill = self._prefill(N)
+            self.cache, self.kv_valid, self.next_embeds = prefill(
+                self.params, self.cache, self.kv_valid, self.next_embeds,
+                jnp.int32(slot), jnp.asarray(d["input_ids"]),
+                jnp.asarray(d["attention_mask"]),
+                jnp.asarray(d["block_attention_mask"]))
+            self.slot_len = self.slot_len.at[slot].set(N)
+            self.active[slot] = req
+            self.stats.prompts_admitted += 1
+
+    def step(self):
+        """Admit waiting prompts, then decode one block for all active."""
+        self._admit()
+        if not self.active:
+            return
+        active_mask = np.zeros((self.n_slots,), bool)
+        for s in self.active:
+            active_mask[s] = True
+        (tokens, has_eos, self.cache, self.kv_valid, self.next_embeds,
+         self.slot_len, self.key) = self._decode(
+            self.params, self.cache, self.kv_valid, self.next_embeds,
+            self.slot_len, jnp.asarray(active_mask), self.key)
+        tokens = np.asarray(tokens)
+        has_eos = np.asarray(has_eos)
+        self.stats.steps += 1
+
+        finished = []
+        for s, req in list(self.active.items()):
+            block = [int(t) for t in tokens[s]]
+            # trim tokens after EOS/pad and respect max_new_tokens
+            remaining = req.max_new_tokens - len(req.generated)
+            emit = []
+            for t in block[:remaining]:
+                if t == self.cfg.pad_token_id and has_eos[s]:
+                    break
+                emit.append(t)
+            req.generated.extend(emit)
+            self.stats.tokens_generated += len(emit)
+            if req.stream:
+                req.stream(req.uid, emit)
+            if has_eos[s] or len(req.generated) >= req.max_new_tokens:
+                req.done = True
+                finished.append(s)
+        for s in finished:
+            del self.active[s]
+            self.stats.prompts_finished += 1
+
+    def run(self, max_steps: int = 10_000) -> List[Request]:
+        done: List[Request] = []
+        seen = set()
+        for _ in range(max_steps):
+            if not self.has_work():
+                break
+            self.step()
+        return done
+
+
+def _scatter_valid(kv_valid, write_pos, valid_new, n):
+    """Set kv_valid[b, write_pos[b] + j] = valid_new[b] for j < n."""
+    B, cap = kv_valid.shape
+    cols = jnp.arange(cap, dtype=jnp.int32)[None]
+    in_range = (cols >= write_pos[:, None]) & (cols < write_pos[:, None] + n)
+    return jnp.where(in_range, valid_new[:, None], kv_valid)
+
+
+def _per_slot_stack(params, cfg, x, mask, positions, cache: neox.KVCache,
+                    write_pos):
+    """neox stack where each batch row writes its K/V at its own offset.
+
+    x: [B, n, h]; positions: [B, n]; write_pos: [B] (embedding-token units).
+    """
+    B, S, _ = x.shape
+    cos, sin = neox.rope_tables(cfg, max(cfg.max_position_embeddings,
+                                         cache.k.shape[3]))
+
+    def body(h, layer_in):
+        p, k_l, v_l = layer_in     # k_l/v_l: [B, H, cap, D]
+        from block_transformer_tpu.models.neox import (apply_rope, dense,
+                                                       layer_norm, _attention)
+        H, D = cfg.num_heads, cfg.head_dim
+        attn_in = layer_norm(h, p["ln1"], cfg.layer_norm_eps)
+        qkv = dense(attn_in, p["attn"]["qkv"])
+        qkv = qkv.reshape(B, S, 3, H, D).transpose(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+        q = apply_rope(q, cos, sin, positions)
+        k = apply_rope(k, cos, sin, positions)
+
+        # scatter per-row at write_pos
+        cols = jnp.arange(k_l.shape[2], dtype=jnp.int32)
+        sel = ((cols[None, :] >= write_pos[:, None])
+               & (cols[None, :] < write_pos[:, None] + S))   # [B, cap]
+        # gather the new slice into cap-aligned layout: position w+j <- j
+        idx = jnp.clip(cols[None, :] - write_pos[:, None], 0, S - 1)  # [B, cap]
+        k_new = jnp.take_along_axis(
+            k.transpose(0, 2, 1, 3), idx[:, :, None, None].repeat(H, 2), axis=1)
+        v_new = jnp.take_along_axis(
+            v.transpose(0, 2, 1, 3), idx[:, :, None, None].repeat(H, 2), axis=1)
+        k_full = jnp.where(sel[:, :, None, None], k_new,
+                           k_l.transpose(0, 2, 1, 3)).transpose(0, 2, 1, 3)
+        v_full = jnp.where(sel[:, :, None, None], v_new,
+                           v_l.transpose(0, 2, 1, 3)).transpose(0, 2, 1, 3)
+
+        attn_out = _attention(q, k_full.astype(q.dtype),
+                              v_full.astype(q.dtype), mask, cfg.attn_impl)
+        attn_out = attn_out.transpose(0, 2, 1, 3).reshape(B, S, H * D)
+        attn_out = dense(attn_out, p["attn"]["out"])
+        mlp_in = layer_norm(h, p["ln2"], cfg.layer_norm_eps)
+        mlp_out = dense(jax.nn.gelu(dense(mlp_in, p["mlp"]["up"]),
+                                    approximate=False), p["mlp"]["down"])
+        if cfg.use_parallel_residual:
+            h = h + attn_out + mlp_out
+        else:
+            h = h + attn_out
+            mlp_in2 = layer_norm(h, p["ln2"], cfg.layer_norm_eps)
+            h = h + dense(jax.nn.gelu(dense(mlp_in2, p["mlp"]["up"]),
+                                      approximate=False), p["mlp"]["down"])
+        return h, (k_full.astype(k_l.dtype), v_full.astype(v_l.dtype))
+
+    h, (new_k, new_v) = jax.lax.scan(body, x, (params["layers"], cache.k,
+                                               cache.v))
+    from block_transformer_tpu.models.neox import layer_norm as ln
+    h = ln(h, params["final_ln"], cfg.layer_norm_eps)
+    return h, neox.KVCache(new_k, new_v, cache.length)

@@ -169,14 +169,15 @@ def generate_blocks(params, cfg: BlockTransformerConfig, input_ids,
     def body(c: _GenCarry) -> _GenCarry:
         key, kb = jax.random.split(c.key)
         block_emb = c.next_embeds.reshape(B, n, ph)
-        new_tokens, _ = decode_block_tokens(params, cfg, block_emb,
-                                            greedy=greedy,
-                                            temperature=temperature, key=kb)
         alive = c.unfinished.astype(bool)
+        new_tokens, inner_alive = decode_block_tokens(params, cfg, block_emb,
+                                                      greedy=greedy,
+                                                      temperature=temperature,
+                                                      key=kb)
         new_tokens = jnp.where(alive[:, None], new_tokens, cfg.pad_token_id)
-        # finished if any generated token is EOS (block_transformer.py:411-412)
-        has_eos = jnp.any(new_tokens == cfg.eos_token_id, axis=-1)
-        unfinished = c.unfinished * (~has_eos).astype(jnp.int32)
+        # finished if an EOS was emitted in this block (the emitted EOS and
+        # everything after it surface as pad; block_transformer.py:411-412)
+        unfinished = c.unfinished * inner_alive.astype(jnp.int32)
 
         tokens = jax.lax.dynamic_update_slice(
             c.tokens, new_tokens[:, None, :], (0, c.n_blocks, 0))

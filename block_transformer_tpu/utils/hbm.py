@@ -1,0 +1,64 @@
+"""Static HBM accounting for batch-size selection.
+
+TPU-native replacement for the reference's try/except-OOM linear VRAM model
+(measure_generation_time.py:252-372): predict bytes from the model config
+and decode regime, pick the largest power-of-2 batch under the device
+limit. The block transformer's footprint is dominated by weights + the
+*tiny* block-level global cache; the vanilla baseline's by its token-level
+KV cache — which is why their max batches differ by ~an order of magnitude
+at long context (the mechanism behind the paper's throughput edge).
+"""
+
+from __future__ import annotations
+
+
+def hbm_bytes_limit(default: int = 16 * 2 ** 30) -> int:
+    import jax
+    stats = jax.local_devices()[0].memory_stats() or {}
+    return int(stats.get("bytes_limit", default))
+
+
+def block_model_bytes(cfg, batch: int, prefill: int, decode: int,
+                      dtype_bytes: int = 2) -> int:
+    """Estimated peak HBM for generate_blocks at a given batch."""
+    L = cfg.block_length
+    n = cfg.n_embedding_tokens
+    blocks = (prefill + decode + L - 1) // L
+    bd = cfg.block_decoder
+    td = cfg.token_decoder.neox
+    params = (cfg.embedder.vocab_size * cfg.embedder.hidden_size
+              + bd.num_layers * 12 * bd.hidden_size ** 2
+              + td.num_layers * 12 * td.hidden_size ** 2
+              + 2 * td.vocab_size * td.hidden_size
+              + cfg.embedder.projection_hidden_size * td.hidden_size
+              * (cfg.expansion_ratio + 1))
+    global_kv = 2 * bd.num_layers * batch * bd.num_heads * blocks * n * bd.head_dim
+    local_kv = (2 * td.num_layers * batch * td.num_heads
+                * (cfg.n_expanded_emb + L) * td.head_dim)
+    logits = batch * td.vocab_size * 4 * 2
+    prefill_act = batch * max(prefill // L, 1) * bd.hidden_size * 12
+    tokens_buf = batch * blocks * L * 4 * 2
+    return (dtype_bytes * (params + global_kv + local_kv)
+            + logits + prefill_act + tokens_buf)
+
+
+def vanilla_model_bytes(cfg, batch: int, prefill: int, decode: int,
+                        dtype_bytes: int = 2) -> int:
+    S = prefill + decode
+    params = (cfg.num_layers * 12 * cfg.hidden_size ** 2
+              + 2 * cfg.vocab_size * cfg.hidden_size)
+    kv = 2 * cfg.num_layers * batch * cfg.num_heads * S * cfg.head_dim
+    logits = batch * cfg.vocab_size * 4 * 2
+    prefill_act = batch * prefill * cfg.hidden_size * 12
+    return dtype_bytes * (params + kv) + logits + prefill_act
+
+
+def auto_batch(estimate_fn, limit: int = None, margin: float = 0.8,
+               max_batch: int = 4096) -> int:
+    """Largest power-of-2 batch whose estimate fits within margin*limit."""
+    if limit is None:
+        limit = hbm_bytes_limit()
+    b = 1
+    while b < max_batch and estimate_fn(b * 2) < limit * margin:
+        b *= 2
+    return b

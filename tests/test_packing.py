@@ -101,3 +101,65 @@ def test_mmap_roundtrip(tmp_path):
     corpus = TokenizedCorpus(data, lengths, starts)
     np.testing.assert_array_equal(corpus.token_data[starts[3]:starts[3]+lengths[3]],
                                   docs[3])
+
+
+def test_native_packer_matches_numpy():
+    from block_transformer_tpu.data import native
+    lib = native.get_packer()
+    assert lib is not None, "native packer failed to build (g++ available?)"
+    corpus, _ = make_corpus(seed=5, n_docs=23)
+    # use uint16 token data like the Pile memmaps
+    corpus = TokenizedCorpus(corpus.token_data.astype(np.uint16),
+                             corpus.document_lengths, corpus.document_indices)
+    ds = PackedDataset(corpus, 32, eos_token=0, pad_token=0, block_length=4,
+                       seed=9)
+    idxs = np.arange(len(ds))
+    nat = ds.get_batch(idxs, use_native=True)
+    ref = ds.get_batch(idxs, use_native=False)
+    np.testing.assert_array_equal(nat["input_ids"], ref["input_ids"])
+    np.testing.assert_array_equal(nat["attention_mask"], ref["attention_mask"])
+
+
+def test_native_packer_wraparound():
+    from block_transformer_tpu.data import native
+    if native.get_packer() is None:
+        return
+    corpus, _ = make_corpus(seed=6, n_docs=5, max_len=20)
+    ds = PackedDataset(corpus, 16, eos_token=0, pad_token=0, block_length=4)
+    # index past the end wraps modulo padded_total_length
+    big = np.array([len(ds) + 3, 2 * len(ds) + 1])
+    nat = ds.get_batch(big, use_native=True)
+    ref = ds.get_batch(big, use_native=False)
+    np.testing.assert_array_equal(nat["input_ids"], ref["input_ids"])
+
+
+def test_variable_block_split():
+    from block_transformer_tpu.data.block_split import (FixedDistribution,
+                                                        UniformDistribution,
+                                                        split_blocks_variable)
+    rng = np.random.default_rng(0)
+    T = 64
+    sample = {"input_ids": rng.integers(1, 90, size=T),
+              "attention_mask": np.ones(T, np.int64),
+              "labels": rng.integers(1, 90, size=T), "index": 7}
+    dist = UniformDistribution(mean=4)
+    out = split_blocks_variable(sample, dist, pad_token_id=0)
+    n, L = out["input_ids"].shape
+    assert L == dist.max == 7
+    # token-level round trip: attended tokens re-concatenate to the input
+    flat = out["input_ids"][out["attention_mask"] == 1]
+    np.testing.assert_array_equal(flat, sample["input_ids"])
+    # deterministic per index
+    out2 = split_blocks_variable(sample, UniformDistribution(mean=4), 0)
+    np.testing.assert_array_equal(out["input_ids"], out2["input_ids"])
+    # different index -> different lengths (with overwhelming probability)
+    s3 = dict(sample, index=8)
+    out3 = split_blocks_variable(s3, UniformDistribution(mean=4), 0)
+    assert out3["input_ids"].shape != out["input_ids"].shape or \
+        (out3["input_ids"] != out["input_ids"]).any()
+
+    fixed = FixedDistribution(4)
+    outf = split_blocks_variable(sample, fixed, 0)
+    assert outf["input_ids"].shape == (16, 4)
+    np.testing.assert_array_equal(outf["input_ids"].reshape(-1),
+                                  sample["input_ids"])
