@@ -26,7 +26,7 @@ def _enable_compile_cache():
 
 
 def bench_block(model_name: str, batch, prefill: int, decode: int,
-                dtype_str: str = "bfloat16"):
+                dtype_str: str = "bfloat16", quantize: str = None):
     import jax
     import jax.numpy as jnp
     from block_transformer_tpu.config import get_config
@@ -36,6 +36,8 @@ def bench_block(model_name: str, batch, prefill: int, decode: int,
 
     dtype = jnp.bfloat16 if dtype_str == "bfloat16" else jnp.float32
     cfg = get_config(model_name)
+    if quantize:
+        from block_transformer_tpu.ops import quant
     if batch == "auto":
         batch = hbm.auto_batch(
             lambda b: hbm.block_model_bytes(cfg, b, prefill, decode))
@@ -43,6 +45,9 @@ def bench_block(model_name: str, batch, prefill: int, decode: int,
     batch = int(batch)
     params = jax.jit(lambda k: bt.init_block_transformer_params(
         k, cfg, dtype=dtype))(jax.random.PRNGKey(0))
+    if quantize:
+        params = jax.jit(lambda p: quant.quantize_block_transformer(
+            p, bits=8 if quantize == "int8" else 4))(params)
     L = cfg.block_length
     N = prefill // L
     max_blocks = (prefill + decode) // L
@@ -79,8 +84,11 @@ def bench_vanilla(name: str, batch, prefill: int, decode: int,
     dtype = jnp.bfloat16 if dtype_str == "bfloat16" else jnp.float32
     cfg = get_vanilla_config(name)
     if batch == "auto":
+        # vanilla decode holds ~2 cache copies through the loop (measured
+        # 16.08G at b32/p2048 where the static estimate says 7.9G)
         batch = hbm.auto_batch(
-            lambda b: hbm.vanilla_model_bytes(cfg, b, prefill, decode))
+            lambda b: hbm.vanilla_model_bytes(cfg, b, prefill, decode),
+            margin=0.4)
         print(f"[bench] vanilla auto batch -> {batch}", flush=True)
     batch = int(batch)
     params = jax.jit(lambda k: vanilla.init_vanilla_params(
@@ -88,22 +96,23 @@ def bench_vanilla(name: str, batch, prefill: int, decode: int,
     rng = np.random.default_rng(0)
     ids = jnp.asarray(rng.integers(1, 50254, size=(batch, prefill)), jnp.int32)
 
-    @functools.partial(jax.jit, donate_argnums=(1,))
-    def decode_loop(params, cache, first_tok):
+    @jax.jit
+    def full_generate(params, ids):
+        # cache created INSIDE the jit: one executable, XLA owns liveness
+        cache = neox.KVCache.create(cfg, batch, prefill + decode, dtype=dtype)
+        logits, cache = vanilla.vanilla_prefill(params, cfg, ids, cache)
+        tok = jnp.argmax(logits, -1).astype(jnp.int32)
+
         def body(i, carry):
             tok, cache = carry
             logits, cache = vanilla.vanilla_decode_step(params, cfg, tok, cache)
             return jnp.argmax(logits, -1).astype(jnp.int32), cache
-        tok, cache = jax.lax.fori_loop(0, decode, body, (first_tok, cache))
-        return tok, cache
+
+        tok, cache = jax.lax.fori_loop(0, decode, body, (tok, cache))
+        return tok
 
     def run():
-        cache = neox.KVCache.create(cfg, batch, prefill + decode, dtype=dtype)
-        logits, cache = jax.jit(vanilla.vanilla_prefill,
-                                static_argnums=(1,))(params, cfg, ids, cache)
-        tok = jnp.argmax(logits, -1).astype(jnp.int32)
-        tok, cache = decode_loop(params, cache, tok)
-        jax.block_until_ready(tok)
+        jax.block_until_ready(full_generate(params, ids))
 
     run()
     n_rep = 3
@@ -116,18 +125,24 @@ def bench_vanilla(name: str, batch, prefill: int, decode: int,
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--model", default="block_main_b4_5")
-    ap.add_argument("--vanilla", default="vanilla_31")
-    ap.add_argument("--batch", default="32",
+    # defaults = the BASELINE.json north-star regime: 1.2B, prefill 2048 /
+    # decode 128, each model at its max feasible batch (static HBM search)
+    ap.add_argument("--model", default="block_main_b4_1.2b")
+    ap.add_argument("--vanilla", default="vanilla_410")
+    ap.add_argument("--batch", default="auto",
                     help="int or 'auto' (per-model static-HBM batch search)")
-    ap.add_argument("--prefill", type=int, default=128)
+    ap.add_argument("--prefill", type=int, default=2048)
     ap.add_argument("--decode", type=int, default=128)
     ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--quantize", choices=["int8", "int4"], default=None)
     args = ap.parse_args()
 
     _enable_compile_cache()
     block_tps, block_batch = bench_block(args.model, args.batch, args.prefill,
-                                         args.decode, args.dtype)
+                                         args.decode, args.dtype,
+                                         args.quantize)
+    print(f"[bench] block: {block_tps:.1f} tok/s at b{block_batch}",
+          file=__import__("sys").stderr, flush=True)
     import gc
     gc.collect()
     vanilla_tps, vanilla_batch = bench_vanilla(args.vanilla, args.batch,
@@ -135,7 +150,8 @@ def main():
                                                args.dtype)
     ratio = block_tps / vanilla_tps if vanilla_tps > 0 else 0.0
     print(json.dumps({
-        "metric": f"decode_tokens_per_sec[{args.model} b{block_batch} "
+        "metric": f"decode_tokens_per_sec[{args.model}"
+                  f"{'-' + args.quantize if args.quantize else ''} b{block_batch} "
                   f"p{args.prefill}/d{args.decode} vs {args.vanilla} "
                   f"b{vanilla_batch}]",
         "value": round(block_tps, 1),

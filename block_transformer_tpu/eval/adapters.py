@@ -100,7 +100,33 @@ def _logsumexp(x):
     return m + np.log(np.exp(x - m).sum(-1, keepdims=True))
 
 
-class BlockTransformerLM(_TokenizedLM):
+class _GenerateMixin:
+    """generate_until for adapters that own block-transformer params."""
+
+    def generate_until(self, requests):
+        from block_transformer_tpu.inference import generate as gen
+        out = []
+        for context, kw in requests:
+            until = kw.get("until") or []
+            max_new = int(kw.get("max_gen_toks", 64))
+            ctx = self.tok_encode(context)[-(self.max_length - max_new):]
+            ids = np.asarray(ctx, np.int32)[None]
+            res = gen.generate(self.params, self.cfg, ids,
+                               max_length=len(ctx) + max_new)
+            new = res[0, len(ctx):].tolist()
+            # cut at EOS
+            if self.eot_token_id in new:
+                new = new[:new.index(self.eot_token_id)]
+            text = self.tokenizer.decode(new)
+            for stop in until:
+                idx = text.find(stop)
+                if idx >= 0:
+                    text = text[:idx]
+            out.append(text)
+        return out
+
+
+class BlockTransformerLM(_GenerateMixin, _TokenizedLM):
     def __init__(self, params, cfg: BlockTransformerConfig, tokenizer,
                  max_length=2048, batch_size=8, nopad: bool = False):
         super().__init__(tokenizer, max_length, batch_size)

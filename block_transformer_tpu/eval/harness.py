@@ -72,6 +72,11 @@ class LM:
         """[(ctx_tokens, cont_tokens)] -> [(logprob, greedy)]."""
         raise NotImplementedError
 
+    def generate_until(self, requests: Sequence[Tuple[str, dict]]) -> List[str]:
+        """[(context, {"until": [...], "max_gen_toks": N})] -> generations
+        (text after the context, truncated at the first stop sequence)."""
+        raise NotImplementedError
+
     @property
     def eot_token_id(self) -> int:
         return 0
@@ -144,6 +149,35 @@ class Task:
             out[metric] = fn(vals)
             out[metric + "_stderr"] = bootstrap_stderr(fn, vals)
         return out
+
+
+class GenerateUntilTask(Task):
+    """Free-generation task (triviaqa/gsm8k-style): the request is
+    (context, gen_kwargs); process_results receives the generated string."""
+
+    metric_fns = {"exact_match": mean}
+    until: list = ["\n"]
+    max_gen_toks: int = 64
+
+    def doc_to_text(self, doc) -> str:
+        raise NotImplementedError
+
+    def extract_answer(self, generation: str) -> str:
+        return generation.strip()
+
+    def gold_answers(self, doc) -> list:
+        raise NotImplementedError
+
+    def build_requests(self, doc):
+        return [("__generate__", (self.doc_to_text(doc),
+                                  {"until": self.until,
+                                   "max_gen_toks": self.max_gen_toks}))]
+
+    def process_results(self, doc, results):
+        (gen,) = results
+        pred = self.extract_answer(gen)
+        golds = [str(g).strip().lower() for g in self.gold_answers(doc)]
+        return {"exact_match": float(pred.strip().lower() in golds)}
 
 
 class MultipleChoiceTask(Task):
@@ -219,24 +253,29 @@ def evaluate(lm: LM, tasks: Sequence[Task], limit: int = None,
             docs = docs[:limit]
         doc_requests = [task.build_requests(doc) for doc in docs]
 
-        flat_ll, flat_rolling = [], []
+        flat_ll, flat_rolling, flat_gen = [], [], []
         index = []  # (doc_i, kind, slot)
         for i, reqs in enumerate(doc_requests):
             for r in reqs:
                 if r[0] == "__rolling__":
                     index.append((i, "rolling", len(flat_rolling)))
                     flat_rolling.append(r[1])
+                elif r[0] == "__generate__":
+                    index.append((i, "gen", len(flat_gen)))
+                    flat_gen.append(r[1])
                 else:
                     index.append((i, "ll", len(flat_ll)))
                     flat_ll.append(r)
 
         ll_res = lm.loglikelihood(flat_ll) if flat_ll else []
         roll_res = lm.loglikelihood_rolling(flat_rolling) if flat_rolling else []
+        gen_res = lm.generate_until(flat_gen) if flat_gen else []
 
         per_doc_results = [[] for _ in docs]
         for (i, kind, slot) in index:
-            per_doc_results[i].append(ll_res[slot] if kind == "ll"
-                                      else roll_res[slot])
+            per_doc_results[i].append(
+                ll_res[slot] if kind == "ll"
+                else roll_res[slot] if kind == "rolling" else gen_res[slot])
 
         per_doc = [task.process_results(doc, res)
                    for doc, res in zip(docs, per_doc_results)]

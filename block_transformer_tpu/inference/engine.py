@@ -65,7 +65,9 @@ class ContinuousBatchingEngine:
         self.temperature = temperature
         n = cfg.n_embedding_tokens
         ph = cfg.embedder.projection_hidden_size
-        dtype = jax.tree.leaves(params)[0].dtype
+        # activation dtype: follow the (never-quantized) embedder table, not
+        # an arbitrary leaf (quantized trees carry int8 kernels)
+        dtype = params["embedder"]["embeddings"]["weight"].dtype
         cap = max_blocks * n
 
         # persistent device state (global cache + per-slot bookkeeping)

@@ -169,24 +169,41 @@ def _attention(q, k, v, mask, impl: str):
     return attn_ops.attention(q, k, v, mask, impl=impl)
 
 
-def neox_layer(p, x, *, cfg: NeoXConfig, mask, cos, sin, positions,
-               cache_kv=None, cache_length=None):
-    """One transformer layer. Returns (hidden, (new_k_slice, new_v_slice)).
-
-    When ``cache_kv=(k_l, v_l)`` is given ([B, H, cap, D] each), new K/V are
-    written at ``cache_length`` and attention runs over the full capacity
-    (masked by ``bias``).
-    """
-    B, S, H = x.shape[0], x.shape[1], cfg.num_heads
-    D = cfg.head_dim
-
+def layer_qkv(p, x, *, cfg: NeoXConfig, cos, sin, positions):
+    """LN1 + fused QKV + RoPE. Returns (q, k, v) each [B, H, S, D]."""
+    B, S, H, D = x.shape[0], x.shape[1], cfg.num_heads, cfg.head_dim
     attn_in = layer_norm(x, p["ln1"], cfg.layer_norm_eps)
     qkv = dense(attn_in, p["attn"]["qkv"])                    # [B, S, 3h]
     qkv = qkv.reshape(B, S, 3, H, D).transpose(2, 0, 3, 1, 4)  # [3, B, H, S, D]
     q, k, v = qkv[0], qkv[1], qkv[2]
     q = apply_rope(q, cos, sin, positions)
     k = apply_rope(k, cos, sin, positions)
+    return q, k, v
 
+
+def layer_finish(p, x, attn_heads, *, cfg: NeoXConfig):
+    """Output projection + MLP + residual(s). attn_heads: [B, H, S, D]."""
+    B, S = x.shape[0], x.shape[1]
+    attn_out = attn_heads.transpose(0, 2, 1, 3).reshape(B, S, -1)
+    attn_out = dense(attn_out, p["attn"]["out"])
+    if cfg.use_parallel_residual:
+        mlp_in = layer_norm(x, p["ln2"], cfg.layer_norm_eps)
+        mlp_out = dense(jax.nn.gelu(dense(mlp_in, p["mlp"]["up"]),
+                                    approximate=False), p["mlp"]["down"])
+        return x + attn_out + mlp_out
+    x = x + attn_out
+    mlp_in = layer_norm(x, p["ln2"], cfg.layer_norm_eps)
+    mlp_out = dense(jax.nn.gelu(dense(mlp_in, p["mlp"]["up"]),
+                                approximate=False), p["mlp"]["down"])
+    return x + mlp_out
+
+
+def neox_layer(p, x, *, cfg: NeoXConfig, mask, cos, sin, positions,
+               cache_kv=None, cache_length=None):
+    """One transformer layer (uncached, or explicit per-layer cache slices —
+    kept for tests and special callers; the stack's cached path uses the
+    carry-based in-place update below)."""
+    q, k, v = layer_qkv(p, x, cfg=cfg, cos=cos, sin=sin, positions=positions)
     if cache_kv is not None:
         k_cache, v_cache = cache_kv
         k_full = jax.lax.dynamic_update_slice(
@@ -199,22 +216,7 @@ def neox_layer(p, x, *, cfg: NeoXConfig, mask, cos, sin, positions,
     else:
         attn_out = _attention(q, k, v, mask, cfg.attn_impl)
         new_kv = None
-
-    attn_out = attn_out.transpose(0, 2, 1, 3).reshape(B, S, H * D)
-    attn_out = dense(attn_out, p["attn"]["out"])
-
-    if cfg.use_parallel_residual:
-        mlp_in = layer_norm(x, p["ln2"], cfg.layer_norm_eps)
-        mlp_out = dense(jax.nn.gelu(dense(mlp_in, p["mlp"]["up"]),
-                                    approximate=False), p["mlp"]["down"])
-        out = x + attn_out + mlp_out
-    else:
-        x = x + attn_out
-        mlp_in = layer_norm(x, p["ln2"], cfg.layer_norm_eps)
-        mlp_out = dense(jax.nn.gelu(dense(mlp_in, p["mlp"]["up"]),
-                                    approximate=False), p["mlp"]["down"])
-        out = x + mlp_out
-    return out, new_kv
+    return layer_finish(p, x, attn_out, cfg=cfg), new_kv
 
 
 def neox_stack(params, x, *, cfg: NeoXConfig, mask, positions,
@@ -229,28 +231,41 @@ def neox_stack(params, x, *, cfg: NeoXConfig, mask, positions,
         max_pos = max(max_pos, cache.k.shape[3])
     cos, sin = rope_tables(cfg, max_pos)
 
-    def body(carry, layer_in):
-        h = carry
-        if cache is not None:
-            p, k_l, v_l = layer_in
-            h, (nk, nv) = neox_layer(p, h, cfg=cfg, mask=mask, cos=cos, sin=sin,
-                                     positions=positions, cache_kv=(k_l, v_l),
-                                     cache_length=cache.length)
-            return h, (nk, nv)
-        else:
-            p = layer_in
+    if cache is not None:
+        # Cache is CARRIED through the layer scan and updated with one small
+        # dynamic_update_slice per layer, so XLA keeps it in place (donated
+        # carry) — the xs/ys formulation forced full input+output cache
+        # copies (observed 4-5x cache footprint on TPU decode).
+        def body(carry, layer_in):
+            h, ck, cv = carry
+            p, i = layer_in
+            q, k, v = layer_qkv(p, h, cfg=cfg, cos=cos, sin=sin,
+                                positions=positions)
+            ck = jax.lax.dynamic_update_slice(
+                ck, k.astype(ck.dtype)[None], (i, 0, 0, cache.length, 0))
+            cv = jax.lax.dynamic_update_slice(
+                cv, v.astype(cv.dtype)[None], (i, 0, 0, cache.length, 0))
+            k_all = jax.lax.dynamic_index_in_dim(ck, i, 0, keepdims=False)
+            v_all = jax.lax.dynamic_index_in_dim(cv, i, 0, keepdims=False)
+            attn = _attention(q, k_all.astype(q.dtype), v_all.astype(q.dtype),
+                              mask, cfg.attn_impl)
+            h = layer_finish(p, h, attn, cfg=cfg)
+            return (h, ck, cv), None
+
+        if remat:
+            body = jax.checkpoint(body)
+        idx = jnp.arange(cfg.num_layers, dtype=jnp.int32)
+        (h, new_k, new_v), _ = jax.lax.scan(body, (x, cache.k, cache.v),
+                                            (params["layers"], idx))
+        new_cache = KVCache(new_k, new_v, cache.length + x.shape[1])
+    else:
+        def body(h, p):
             h, _ = neox_layer(p, h, cfg=cfg, mask=mask, cos=cos, sin=sin,
                               positions=positions)
             return h, None
 
-    if remat:
-        body = jax.checkpoint(body)
-
-    if cache is not None:
-        xs = (params["layers"], cache.k, cache.v)
-        h, (new_k, new_v) = jax.lax.scan(body, x, xs)
-        new_cache = KVCache(new_k, new_v, cache.length + x.shape[1])
-    else:
+        if remat:
+            body = jax.checkpoint(body)
         h, _ = jax.lax.scan(body, x, params["layers"])
         new_cache = None
 

@@ -36,7 +36,10 @@ def block_model_bytes(cfg, batch: int, prefill: int, decode: int,
     local_kv = (2 * td.num_layers * batch * td.num_heads
                 * (cfg.n_expanded_emb + L) * td.head_dim)
     logits = batch * td.vocab_size * 4 * 2
-    prefill_act = batch * max(prefill // L, 1) * bd.hidden_size * 12
+    # prefill attention temps (q/k/v + rope fp32 intermediates) dominate the
+    # transient peak: ~48 bytes per (batch, block-position, hidden) element
+    # (empirical on v5e: b128 1.2b p2048 needs ~16.3G, b64 fits)
+    prefill_act = batch * max(prefill // L, 1) * bd.hidden_size * 48
     tokens_buf = batch * blocks * L * 4 * 2
     return (dtype_bytes * (params + global_kv + local_kv)
             + logits + prefill_act + tokens_buf)

@@ -81,3 +81,22 @@ def test_quantized_model_close_to_fp():
     # token-level agreement: quantized argmax matches fp argmax mostly
     agree = (np.asarray(lp_fp.argmax(-1)) == np.asarray(lp_q.argmax(-1)))[sel]
     assert agree.mean() > 0.9, agree.mean()
+
+
+def test_quantized_generation_end_to_end():
+    """INT8-quantized params must run the full two-level decode engine."""
+    from tests.test_block_parity import make_cfg, VOCAB
+    from block_transformer_tpu.models import block_transformer as bt
+    from block_transformer_tpu.inference import generate as gen
+
+    cfg = make_cfg()
+    params = bt.init_block_transformer_params(jax.random.PRNGKey(0), cfg)
+    qparams = quant.quantize_block_transformer(params, bits=8)
+    rng = np.random.default_rng(0)
+    prompt = rng.integers(1, VOCAB, size=(1, 8))
+    out_fp = gen.generate(params, cfg, prompt, max_length=20)
+    out_q = gen.generate(qparams, cfg, prompt, max_length=20)
+    assert out_q.shape == out_fp.shape
+    # prompts preserved; generated tokens valid ids
+    np.testing.assert_array_equal(out_q[:, :8], prompt)
+    assert (out_q >= 0).all() and (out_q < VOCAB).all()
