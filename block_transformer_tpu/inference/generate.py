@@ -127,11 +127,13 @@ def _block_decoder_step(params, cfg: BlockTransformerConfig, inputs_embeds,
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "max_blocks", "greedy",
-                                             "temperature"))
+                                             "temperature",
+                                             "prefill_chunk_blocks"))
 def generate_blocks(params, cfg: BlockTransformerConfig, input_ids,
                     attention_mask, block_attention_mask, *, max_blocks: int,
                     greedy: bool = True, temperature: float = 1.0,
-                    key=None) -> GenerationResult:
+                    key=None, prefill_chunk_blocks: int = 128
+                    ) -> GenerationResult:
     """Block-format generation: input_ids/attention_mask [B, N, L],
     block_attention_mask [B, N]; generates until ``max_blocks`` total blocks
     or all sequences finish. Fully jitted; one trace per (B, N, max_blocks).
@@ -144,6 +146,10 @@ def generate_blocks(params, cfg: BlockTransformerConfig, input_ids,
     capacity = max_blocks * n
 
     # ---- prefill ---------------------------------------------------------
+    # chunked: the prompt's block embeddings stream through the block decoder
+    # in fixed chunks (cache carried in place), so transient attention
+    # activations scale with the chunk, not the whole prompt — this is what
+    # lets decode batch sizes reach b128+ at p2048 on one chip.
     block_embeds = emb.embed_blocks(params["embedder"], cfg.embedder,
                                     cfg.block_length, input_ids)  # [B,N,n,ph]
     inputs_embeds = block_embeds.reshape(B, N * n, ph)
@@ -151,9 +157,32 @@ def generate_blocks(params, cfg: BlockTransformerConfig, input_ids,
                                 dtype=inputs_embeds.dtype)
     kv_valid = jnp.zeros((B, capacity), jnp.int32)
     prompt_valid = jnp.repeat(block_attention_mask.astype(jnp.int32), n, axis=1)
-    hidden, cache, kv_valid = _block_decoder_step(
-        params, cfg, inputs_embeds, cache, kv_valid, prompt_valid)
-    next_embeds = hidden[:, -n:, :]  # output of the last prompt block
+
+    S_total = N * n
+    chunk_req = max(1, prefill_chunk_blocks) * n
+    if S_total <= chunk_req:
+        hidden, cache, kv_valid = _block_decoder_step(
+            params, cfg, inputs_embeds, cache, kv_valid, prompt_valid)
+        next_embeds = hidden[:, -n:, :]  # output of the last prompt block
+    else:
+        # largest divisor of the prompt length <= the requested chunk keeps
+        # shapes exact (no padded tail to re-derive the last hidden from)
+        chunk = max(d for d in range(1, chunk_req + 1) if S_total % d == 0)
+        n_chunks = S_total // chunk
+        x_chunks = inputs_embeds.reshape(B, n_chunks, chunk, ph
+                                         ).transpose(1, 0, 2, 3)
+        v_chunks = prompt_valid.reshape(B, n_chunks, chunk).transpose(1, 0, 2)
+
+        def chunk_body(carry, xs):
+            cache, kv_valid = carry
+            xc, vc = xs
+            hidden, cache, kv_valid = _block_decoder_step(
+                params, cfg, xc, cache, kv_valid, vc)
+            return (cache, kv_valid), hidden[:, -n:, :]
+
+        (cache, kv_valid), last_hiddens = jax.lax.scan(
+            chunk_body, (cache, kv_valid), (x_chunks, v_chunks))
+        next_embeds = last_hiddens[-1]
 
     tokens = jnp.zeros((B, max_blocks, L), jnp.int32)
     tokens = jax.lax.dynamic_update_slice(tokens, input_ids.astype(jnp.int32),

@@ -44,10 +44,10 @@ def _kernel(q_idx_ref, kv_idx_ref, kv_valid_ref, q_ref, k_ref, v_ref,
     v = v_ref[0, 0]
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32) * scale
-    qi = q_idx_ref[0]                      # [bq]
-    ki = kv_idx_ref[0]                     # [bk]
+    qi = q_idx_ref[0, 0]                   # [bq]
+    ki = kv_idx_ref[0, 0]                  # [bk]
     ok = ki[None, :] <= qi[:, None]
-    ok = ok & (kv_valid_ref[0][None, :] != 0)
+    ok = ok & (kv_valid_ref[0, 0][None, :] != 0)
     s = jnp.where(ok, s, _NEG)
 
     m_prev = m_ref[:]                      # [bq, 1]
@@ -92,16 +92,22 @@ def _flash(q, k, v, q_idx, kv_idx, kv_valid, *, bq, bk, interpret):
                          constant_values=jnp.iinfo(jnp.int32).max)
         kv_valid = jnp.pad(kv_valid, ((0, 0), (0, Kp - K)))
 
+    # index vectors as [B, 1, len]: Pallas TPU requires the last-two block
+    # dims to divide (8, 128) or equal the array dims — the middle 1 does
+    q_idx3 = q_idx[:, None, :]
+    kv_idx3 = kv_idx[:, None, :]
+    kv_valid3 = kv_valid[:, None, :]
+
     grid = (B, H, Qp // bq, Kp // bk)
     out = pl.pallas_call(
         functools.partial(_kernel, scale=scale),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, bq), lambda b, h, iq, ik: (b, iq),
+            pl.BlockSpec((1, 1, bq), lambda b, h, iq, ik: (b, 0, iq),
                          memory_space=pltpu.VMEM),      # q_idx
-            pl.BlockSpec((1, bk), lambda b, h, iq, ik: (0, ik),
+            pl.BlockSpec((1, 1, bk), lambda b, h, iq, ik: (0, 0, ik),
                          memory_space=pltpu.VMEM),      # kv_idx
-            pl.BlockSpec((1, bk), lambda b, h, iq, ik: (b, ik),
+            pl.BlockSpec((1, 1, bk), lambda b, h, iq, ik: (b, 0, ik),
                          memory_space=pltpu.VMEM),      # kv_valid
             pl.BlockSpec((1, 1, bq, D), lambda b, h, iq, ik: (b, h, iq, 0),
                          memory_space=pltpu.VMEM),      # q
@@ -127,7 +133,7 @@ def _flash(q, k, v, q_idx, kv_idx, kv_valid, *, bq, bk, interpret):
                             + B * H * Qp * D * q.dtype.itemsize),
             transcendentals=B * H * Qp * Kp),
         interpret=interpret,
-    )(q_idx, kv_idx, kv_valid, q, k, v)
+    )(q_idx3, kv_idx3, kv_valid3, q, k, v)
     return out[:, :, :Q, :]
 
 

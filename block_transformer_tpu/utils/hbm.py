@@ -36,10 +36,11 @@ def block_model_bytes(cfg, batch: int, prefill: int, decode: int,
     local_kv = (2 * td.num_layers * batch * td.num_heads
                 * (cfg.n_expanded_emb + L) * td.head_dim)
     logits = batch * td.vocab_size * 4 * 2
-    # prefill attention temps (q/k/v + rope fp32 intermediates) dominate the
-    # transient peak: ~48 bytes per (batch, block-position, hidden) element
-    # (empirical on v5e: b128 1.2b p2048 needs ~16.3G, b64 fits)
-    prefill_act = batch * max(prefill // L, 1) * bd.hidden_size * 48
+    # prefill runs in chunks of <=128 block positions (generate_blocks
+    # prefill_chunk_blocks), so transient attention temps scale with the
+    # chunk; ~48 bytes per (batch, chunk-position, hidden) element
+    chunk = min(max(prefill // L, 1), 128)
+    prefill_act = batch * chunk * bd.hidden_size * 48
     tokens_buf = batch * blocks * L * 4 * 2
     return (dtype_bytes * (params + global_kv + local_kv)
             + logits + prefill_act + tokens_buf)

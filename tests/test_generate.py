@@ -93,3 +93,20 @@ def test_vanilla_wrapper_roundtrip():
     out = gen.generate(params, cfg, prompt, max_length=14)
     assert out.shape[1] <= 14
     np.testing.assert_array_equal(out[:, :6], prompt)
+
+
+def test_chunked_prefill_matches_unchunked():
+    cfg, params = _setup(seed=5)
+    rng = np.random.default_rng(5)
+    B, N = 2, 12
+    ids = rng.integers(1, VOCAB, size=(B, N, L))
+    att = np.ones_like(ids)
+    att[1, 0, :2] = 0  # some padding in the prompt
+    bam = att.any(-1).astype(np.int64)
+    args = (jnp.asarray(ids), jnp.asarray(att), jnp.asarray(bam))
+    full = gen.generate_blocks(params, cfg, *args, max_blocks=N + 3,
+                               prefill_chunk_blocks=512)
+    chunked = gen.generate_blocks(params, cfg, *args, max_blocks=N + 3,
+                                  prefill_chunk_blocks=4)
+    np.testing.assert_array_equal(np.asarray(full.tokens),
+                                  np.asarray(chunked.tokens))
