@@ -26,7 +26,8 @@ def _enable_compile_cache():
 
 
 def bench_block(model_name: str, batch, prefill: int, decode: int,
-                dtype_str: str = "bfloat16", quantize: str = None):
+                dtype_str: str = "bfloat16", quantize: str = None,
+                kv_cache: str = "bf16"):
     import jax
     import jax.numpy as jnp
     from block_transformer_tpu.config import get_config
@@ -40,7 +41,8 @@ def bench_block(model_name: str, batch, prefill: int, decode: int,
         from block_transformer_tpu.ops import quant
     if batch == "auto":
         batch = hbm.auto_batch(
-            lambda b: hbm.block_model_bytes(cfg, b, prefill, decode))
+            lambda b: hbm.block_model_bytes(cfg, b, prefill, decode,
+                                            kv_cache=kv_cache))
         print(f"[bench] block auto batch -> {batch}", flush=True)
     batch = int(batch)
     params = jax.jit(lambda k: bt.init_block_transformer_params(
@@ -58,7 +60,8 @@ def bench_block(model_name: str, batch, prefill: int, decode: int,
 
     def run():
         res = gen.generate_blocks(params, cfg, ids, att, bam,
-                                  max_blocks=max_blocks, greedy=True)
+                                  max_blocks=max_blocks, greedy=True,
+                                  kv_cache=kv_cache)
         jax.block_until_ready(res.tokens)
         return res
 
@@ -135,12 +138,14 @@ def main():
     ap.add_argument("--decode", type=int, default=128)
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--quantize", choices=["int8", "int4"], default=None)
+    ap.add_argument("--kv", choices=["bf16", "int8"], default="int8",
+                    help="global block-level KV cache dtype")
     args = ap.parse_args()
 
     _enable_compile_cache()
     block_tps, block_batch = bench_block(args.model, args.batch, args.prefill,
                                          args.decode, args.dtype,
-                                         args.quantize)
+                                         args.quantize, args.kv)
     print(f"[bench] block: {block_tps:.1f} tok/s at b{block_batch}",
           file=__import__("sys").stderr, flush=True)
     import gc
@@ -151,7 +156,8 @@ def main():
     ratio = block_tps / vanilla_tps if vanilla_tps > 0 else 0.0
     print(json.dumps({
         "metric": f"decode_tokens_per_sec[{args.model}"
-                  f"{'-' + args.quantize if args.quantize else ''} b{block_batch} "
+                  f"{'-' + args.quantize if args.quantize else ''}"
+                  f"{'-kv8' if args.kv == 'int8' else ''} b{block_batch} "
                   f"p{args.prefill}/d{args.decode} vs {args.vanilla} "
                   f"b{vanilla_batch}]",
         "value": round(block_tps, 1),

@@ -128,12 +128,13 @@ def _block_decoder_step(params, cfg: BlockTransformerConfig, inputs_embeds,
 
 @functools.partial(jax.jit, static_argnames=("cfg", "max_blocks", "greedy",
                                              "temperature",
-                                             "prefill_chunk_blocks"))
+                                             "prefill_chunk_blocks",
+                                             "kv_cache"))
 def generate_blocks(params, cfg: BlockTransformerConfig, input_ids,
                     attention_mask, block_attention_mask, *, max_blocks: int,
                     greedy: bool = True, temperature: float = 1.0,
-                    key=None, prefill_chunk_blocks: int = 128
-                    ) -> GenerationResult:
+                    key=None, prefill_chunk_blocks: int = 128,
+                    kv_cache: str = "bf16") -> GenerationResult:
     """Block-format generation: input_ids/attention_mask [B, N, L],
     block_attention_mask [B, N]; generates until ``max_blocks`` total blocks
     or all sequences finish. Fully jitted; one trace per (B, N, max_blocks).
@@ -153,8 +154,9 @@ def generate_blocks(params, cfg: BlockTransformerConfig, input_ids,
     block_embeds = emb.embed_blocks(params["embedder"], cfg.embedder,
                                     cfg.block_length, input_ids)  # [B,N,n,ph]
     inputs_embeds = block_embeds.reshape(B, N * n, ph)
-    cache = neox.KVCache.create(cfg.block_decoder, B, capacity,
-                                dtype=inputs_embeds.dtype)
+    cache_cls = (neox.QuantKVCache if kv_cache == "int8" else neox.KVCache)
+    cache = cache_cls.create(cfg.block_decoder, B, capacity,
+                             dtype=inputs_embeds.dtype)
     kv_valid = jnp.zeros((B, capacity), jnp.int32)
     prompt_valid = jnp.repeat(block_attention_mask.astype(jnp.int32), n, axis=1)
 

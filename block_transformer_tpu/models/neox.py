@@ -160,6 +160,38 @@ class KVCache(NamedTuple):
                        jnp.zeros((), jnp.int32))
 
 
+class QuantKVCache(NamedTuple):
+    """INT8-quantized fixed-capacity KV cache (the BASELINE.json hierarchical
+    INT8 cache): values int8 with one fp32 scale per (layer, batch, head,
+    position) — halves cache HBM vs bf16 at <1% metadata overhead.
+    """
+    k: jax.Array          # int8 [L, B, H, cap, D]
+    v: jax.Array
+    k_scale: jax.Array    # f32 [L, B, H, cap]
+    v_scale: jax.Array
+    length: jax.Array
+
+    @staticmethod
+    def create(cfg: NeoXConfig, batch: int, capacity: int, dtype=None):
+        del dtype
+        shape = (cfg.num_layers, batch, cfg.num_heads, capacity, cfg.head_dim)
+        sshape = shape[:-1]
+        return QuantKVCache(jnp.zeros(shape, jnp.int8),
+                            jnp.zeros(shape, jnp.int8),
+                            jnp.zeros(sshape, jnp.float32),
+                            jnp.zeros(sshape, jnp.float32),
+                            jnp.zeros((), jnp.int32))
+
+
+def quantize_kv(x):
+    """[B, H, S, D] -> (int8 values, f32 scales [B, H, S])."""
+    a = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
+    scale = jnp.maximum(a, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale[..., None]),
+                 -127, 127).astype(jnp.int8)
+    return q, scale
+
+
 # ---------------------------------------------------------------------------
 # Forward
 # ---------------------------------------------------------------------------
@@ -231,7 +263,46 @@ def neox_stack(params, x, *, cfg: NeoXConfig, mask, positions,
         max_pos = max(max_pos, cache.k.shape[3])
     cos, sin = rope_tables(cfg, max_pos)
 
-    if cache is not None:
+    if isinstance(cache, QuantKVCache):
+        # INT8 cache: quantize the new K/V per position on write; dequantize
+        # the layer slice on read. Same carry-in-place pattern as below.
+        def body(carry, layer_in):
+            h, ck, cv, cks, cvs = carry
+            p, i = layer_in
+            q, k, v = layer_qkv(p, h, cfg=cfg, cos=cos, sin=sin,
+                                positions=positions)
+            kq, ks = quantize_kv(k)
+            vq, vs = quantize_kv(v)
+            ck = jax.lax.dynamic_update_slice(
+                ck, kq[None], (i, 0, 0, cache.length, 0))
+            cv = jax.lax.dynamic_update_slice(
+                cv, vq[None], (i, 0, 0, cache.length, 0))
+            cks = jax.lax.dynamic_update_slice(
+                cks, ks[None], (i, 0, 0, cache.length))
+            cvs = jax.lax.dynamic_update_slice(
+                cvs, vs[None], (i, 0, 0, cache.length))
+            k_all = (jax.lax.dynamic_index_in_dim(ck, i, 0, keepdims=False)
+                     .astype(jnp.float32)
+                     * jax.lax.dynamic_index_in_dim(cks, i, 0,
+                                                    keepdims=False)[..., None]
+                     ).astype(q.dtype)
+            v_all = (jax.lax.dynamic_index_in_dim(cv, i, 0, keepdims=False)
+                     .astype(jnp.float32)
+                     * jax.lax.dynamic_index_in_dim(cvs, i, 0,
+                                                    keepdims=False)[..., None]
+                     ).astype(q.dtype)
+            attn = _attention(q, k_all, v_all, mask, cfg.attn_impl)
+            h = layer_finish(p, h, attn, cfg=cfg)
+            return (h, ck, cv, cks, cvs), None
+
+        if remat:
+            body = jax.checkpoint(body)
+        idx = jnp.arange(cfg.num_layers, dtype=jnp.int32)
+        (h, nk, nv, nks, nvs), _ = jax.lax.scan(
+            body, (x, cache.k, cache.v, cache.k_scale, cache.v_scale),
+            (params["layers"], idx))
+        new_cache = QuantKVCache(nk, nv, nks, nvs, cache.length + x.shape[1])
+    elif cache is not None:
         # Cache is CARRIED through the layer scan and updated with one small
         # dynamic_update_slice per layer, so XLA keeps it in place (donated
         # carry) — the xs/ys formulation forced full input+output cache

@@ -19,7 +19,7 @@ def hbm_bytes_limit(default: int = 16 * 2 ** 30) -> int:
 
 
 def block_model_bytes(cfg, batch: int, prefill: int, decode: int,
-                      dtype_bytes: int = 2) -> int:
+                      dtype_bytes: int = 2, kv_cache: str = "bf16") -> int:
     """Estimated peak HBM for generate_blocks at a given batch."""
     L = cfg.block_length
     n = cfg.n_embedding_tokens
@@ -32,7 +32,9 @@ def block_model_bytes(cfg, batch: int, prefill: int, decode: int,
               + 2 * td.vocab_size * td.hidden_size
               + cfg.embedder.projection_hidden_size * td.hidden_size
               * (cfg.expansion_ratio + 1))
-    global_kv = 2 * bd.num_layers * batch * bd.num_heads * blocks * n * bd.head_dim
+    kv_bytes = 1 + 4 / bd.head_dim if kv_cache == "int8" else dtype_bytes
+    global_kv = int(2 * bd.num_layers * batch * bd.num_heads * blocks * n
+                    * bd.head_dim * kv_bytes / dtype_bytes)
     local_kv = (2 * td.num_layers * batch * td.num_heads
                 * (cfg.n_expanded_emb + L) * td.head_dim)
     logits = batch * td.vocab_size * 4 * 2

@@ -100,3 +100,29 @@ def test_quantized_generation_end_to_end():
     # prompts preserved; generated tokens valid ids
     np.testing.assert_array_equal(out_q[:, :8], prompt)
     assert (out_q >= 0).all() and (out_q < VOCAB).all()
+
+
+def test_int8_kv_cache_generation_close():
+    """INT8 global KV cache decode must track the bf16-cache decode."""
+    from tests.test_block_parity import make_cfg, VOCAB
+    from block_transformer_tpu.models import block_transformer as bt
+    from block_transformer_tpu.inference import generate as gen
+    import jax.numpy as jnp
+
+    cfg = make_cfg()
+    params = bt.init_block_transformer_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    ids = rng.integers(1, VOCAB, size=(2, 4, 4))
+    att = np.ones_like(ids)
+    bam = att.any(-1).astype(np.int64)
+    args = (jnp.asarray(ids), jnp.asarray(att), jnp.asarray(bam))
+    ref = gen.generate_blocks(params, cfg, *args, max_blocks=7)
+    q = gen.generate_blocks(params, cfg, *args, max_blocks=7, kv_cache="int8")
+    a, b = np.asarray(ref.tokens), np.asarray(q.tokens)
+    # random-init logits are near-uniform so argmax can flip under tiny
+    # perturbations; require the prompt region exact and outputs valid
+    np.testing.assert_array_equal(a[:, :4], b[:, :4])
+    assert (b >= 0).all() and (b < VOCAB).all()
+    # and the first generated block should mostly agree
+    agree = (a[:, 4] == b[:, 4]).mean()
+    assert agree >= 0.5, agree
