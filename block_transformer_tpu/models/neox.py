@@ -264,8 +264,23 @@ def neox_stack(params, x, *, cfg: NeoXConfig, mask, positions,
     cos, sin = rope_tables(cfg, max_pos)
 
     if isinstance(cache, QuantKVCache):
-        # INT8 cache: quantize the new K/V per position on write; dequantize
-        # the layer slice on read. Same carry-in-place pattern as below.
+        # INT8 cache: quantize the new K/V per position on write. On read,
+        # decode-sized queries (S<=8) on TPU go through the fused Pallas
+        # int8-KV attention kernel (no bf16 cache materialization); larger
+        # S / CPU falls back to dequant + the standard attention path.
+        def _on_tpu():
+            try:
+                return jax.devices()[0].platform == "tpu"
+            except Exception:
+                return False
+
+        # EXPERIMENTAL, off by default: measured 5396 vs 11075 tok/s at 1.2B
+        # b256 — the per-(batch, head) grid with 8-row matmuls underutilizes
+        # the MXU vs XLA's generated attention. Needs head-batched tiles.
+        import os
+        use_fused = (x.shape[1] <= 8 and _on_tpu()
+                     and os.environ.get("BT_FUSED_KV_ATTN") == "1")
+
         def body(carry, layer_in):
             h, ck, cv, cks, cvs = carry
             p, i = layer_in
@@ -281,17 +296,20 @@ def neox_stack(params, x, *, cfg: NeoXConfig, mask, positions,
                 cks, ks[None], (i, 0, 0, cache.length))
             cvs = jax.lax.dynamic_update_slice(
                 cvs, vs[None], (i, 0, 0, cache.length))
-            k_all = (jax.lax.dynamic_index_in_dim(ck, i, 0, keepdims=False)
-                     .astype(jnp.float32)
-                     * jax.lax.dynamic_index_in_dim(cks, i, 0,
-                                                    keepdims=False)[..., None]
-                     ).astype(q.dtype)
-            v_all = (jax.lax.dynamic_index_in_dim(cv, i, 0, keepdims=False)
-                     .astype(jnp.float32)
-                     * jax.lax.dynamic_index_in_dim(cvs, i, 0,
-                                                    keepdims=False)[..., None]
-                     ).astype(q.dtype)
-            attn = _attention(q, k_all, v_all, mask, cfg.attn_impl)
+            kq_all = jax.lax.dynamic_index_in_dim(ck, i, 0, keepdims=False)
+            vq_all = jax.lax.dynamic_index_in_dim(cv, i, 0, keepdims=False)
+            ks_all = jax.lax.dynamic_index_in_dim(cks, i, 0, keepdims=False)
+            vs_all = jax.lax.dynamic_index_in_dim(cvs, i, 0, keepdims=False)
+            if use_fused:
+                from block_transformer_tpu.ops import decode_attention
+                attn = decode_attention.decode_attention_int8(
+                    q, kq_all, ks_all, vq_all, vs_all, mask)
+            else:
+                k_all = (kq_all.astype(jnp.float32)
+                         * ks_all[..., None]).astype(q.dtype)
+                v_all = (vq_all.astype(jnp.float32)
+                         * vs_all[..., None]).astype(q.dtype)
+                attn = _attention(q, k_all, v_all, mask, cfg.attn_impl)
             h = layer_finish(p, h, attn, cfg=cfg)
             return (h, ck, cv, cks, cvs), None
 

@@ -59,3 +59,24 @@ def test_flash_non_tile_multiple_shapes():
     q, k, v = _rand_qkv(B, H, Q, Q, D, seed=3)
     pos = jnp.arange(Q, dtype=jnp.int32)
     _compare(q, k, v, masks.causal_mask(pos, pos))
+
+
+def test_decode_attention_int8_interpret():
+    from block_transformer_tpu.ops import decode_attention
+    from block_transformer_tpu.models.neox import quantize_kv
+    rng = np.random.default_rng(7)
+    B, H, S, K, D = 2, 4, 1, 256, 64
+    q = jnp.asarray(rng.standard_normal((B, H, S, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, H, K, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, H, K, D)), jnp.float32)
+    k_q, k_s = quantize_kv(k)
+    v_q, v_s = quantize_kv(v)
+    kv_valid = jnp.zeros((B, K), jnp.int32).at[:, :129].set(1)
+    mask = masks.decode_mask(jnp.int32(128), K, S, kv_valid=kv_valid)
+    got = np.asarray(decode_attention.decode_attention_int8(
+        q, k_q, k_s, v_q, v_s, mask, interpret=True))
+    # reference: dequant then exact attention
+    k_d = (k_q.astype(jnp.float32) * k_s[..., None])
+    v_d = (v_q.astype(jnp.float32) * v_s[..., None])
+    want = np.asarray(attention.attention_xla(q, k_d, v_d, mask))
+    np.testing.assert_allclose(got, want, atol=2e-3, rtol=2e-3)
