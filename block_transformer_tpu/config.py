@@ -97,7 +97,7 @@ class EmbedderConfig:
     // n_embedding_tokens)`` (model/embedder/lookup.py:44-53).
     """
 
-    cls: str = "lookup"
+    cls: str = "lookup"   # lookup | roberta | roberta_cls | t5
     vocab_size: int = 50304
     hidden_size: int = 512
     n_embedding_tokens: int = 1
@@ -105,10 +105,15 @@ class EmbedderConfig:
     projection_hidden_size: int = 2048  # == block decoder hidden size
     initializer_range: float = 0.02
     pad_token_id: int = 0
+    # encoder-embedder (roberta/roberta_cls/t5) stack shape; hidden_size is
+    # the encoder width (model/embedder/{roberta,t5}.py ablations)
+    encoder_layers: int = 2
+    encoder_heads: Optional[int] = None
+    n_cls_tokens: int = 0   # roberta_cls only
 
     def __post_init__(self):
-        if self.cls != "lookup":
-            raise NotImplementedError(f"embedder cls {self.cls!r} not implemented yet")
+        if self.cls not in ("lookup", "roberta", "roberta_cls", "t5"):
+            raise NotImplementedError(f"embedder cls {self.cls!r}")
         if self.projection_method not in ("concat", "projection_layer"):
             raise ValueError(f"bad projection_method {self.projection_method!r}")
 
@@ -116,14 +121,19 @@ class EmbedderConfig:
 @dataclass(frozen=True)
 class TokenDecoderConfig:
     neox: NeoXConfig = field(default_factory=NeoXConfig)
-    decoding_strategy: str = "prefix"   # prefix | summation
+    decoding_strategy: str = "prefix"   # prefix | summation | cross_attention
     expansion_method: Optional[str] = "expansion_layer"  # expansion_layer | None
     expansion_ratio: Optional[int] = 2
+    cls: str = "gpt-neo-x"              # gpt-neo-x | t5
 
     def __post_init__(self):
-        if self.decoding_strategy not in ("prefix", "summation"):
+        if self.decoding_strategy not in ("prefix", "summation",
+                                          "cross_attention"):
             raise NotImplementedError(
                 f"decoding_strategy {self.decoding_strategy!r} not implemented")
+        if self.decoding_strategy == "cross_attention" and self.cls != "t5":
+            # util/config.py:107-109: cross_attention only for T5TokenDecoder
+            raise ValueError("cross_attention requires token_decoder cls 't5'")
 
 
 @dataclass(frozen=True)
@@ -151,12 +161,16 @@ class BlockTransformerConfig:
     def __post_init__(self):
         e = self.embedder
         if e.projection_method == "concat":
-            per = self.block_length // e.n_embedding_tokens
+            # concat source length: block tokens, or CLS tokens for the
+            # roberta_cls embedder (model/embedder/roberta_cls.py:80-93)
+            src = (e.n_cls_tokens if e.cls == "roberta_cls"
+                   else self.block_length)
+            per = src // e.n_embedding_tokens
             if e.hidden_size * per != e.projection_hidden_size:
                 raise ValueError(
                     "concat projection requires embedder.hidden_size * "
-                    "(block_length // n_embedding_tokens) == projection_hidden_size; got "
-                    f"{e.hidden_size} * {per} != {e.projection_hidden_size}")
+                    f"({src} // n_embedding_tokens) == projection_hidden_size; "
+                    f"got {e.hidden_size} * {per} != {e.projection_hidden_size}")
         if e.projection_hidden_size != self.block_decoder.hidden_size:
             raise ValueError("projection_hidden_size must equal block decoder hidden size")
 

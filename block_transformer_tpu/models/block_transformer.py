@@ -84,7 +84,8 @@ def block_transformer_forward(params, cfg: BlockTransformerConfig,
 
     # ---- embedding -------------------------------------------------------
     block_embeds = emb.embed_blocks(params["embedder"], cfg.embedder,
-                                    cfg.block_length, input_ids)
+                                    cfg.block_length, input_ids,
+                                    attention_mask=attention_mask)
     # [B, N, n_emb, ph]
     ph = cfg.embedder.projection_hidden_size
     inputs_embeds = block_embeds.reshape(B, N * n_emb, ph)

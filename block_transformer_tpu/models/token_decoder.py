@@ -33,11 +33,25 @@ from block_transformer_tpu.models import neox
 from block_transformer_tpu.ops import masks
 
 
+def _t5_cfg(cfg: TokenDecoderConfig):
+    from block_transformer_tpu.models.t5 import T5Config
+    n = cfg.neox
+    return T5Config(vocab_size=n.vocab_size, d_model=n.hidden_size,
+                    d_kv=n.head_dim, d_ff=n.intermediate_size,
+                    num_layers=n.num_layers, num_heads=n.num_heads,
+                    pad_token_id=n.pad_token_id, eos_token_id=n.eos_token_id)
+
+
 def init_token_decoder_params(key, cfg: TokenDecoderConfig, projection_hidden_size: int,
                               dtype=jnp.float32):
     k_stack, k_exp = jax.random.split(key)
-    params = neox.init_neox_params(k_stack, cfg.neox, with_embed_in=True,
-                                   with_lm_head=True, dtype=dtype)
+    if cfg.cls == "t5":
+        from block_transformer_tpu.models import t5 as t5m
+        params = {"t5": t5m.init_t5_stack_params(k_stack, _t5_cfg(cfg),
+                                                 is_decoder=True, dtype=dtype)}
+    else:
+        params = neox.init_neox_params(k_stack, cfg.neox, with_embed_in=True,
+                                       with_lm_head=True, dtype=dtype)
     if cfg.expansion_method == "expansion_layer":
         h = cfg.neox.hidden_size
         std = projection_hidden_size ** -0.5
@@ -114,6 +128,20 @@ def token_decoder_train_forward(params, cfg: TokenDecoderConfig,
         positions = jnp.arange(L, dtype=jnp.int32)
         hidden, _ = neox.neox_stack(params, x, cfg=cfg.neox, mask=mask,
                                     positions=positions, remat=remat)
+    elif cfg.decoding_strategy == "cross_attention":
+        # T5 decoder: keep BOS prefix, cross-attend to the expanded block
+        # embeddings (token_decoder/base.py:538-552, t5.py:58-72); adapted
+        # prefix length 1 -> no redundant output prefix (base.py:321-329)
+        from block_transformer_tpu.models import t5 as t5m
+        t5cfg = _t5_cfg(cfg)
+        tok_ids = input_ids[:, :-1]                        # [BOS, x1..x_{L-1}]
+        att = jnp.concatenate(
+            [jnp.ones((Bb, 1), attention_mask.dtype), attention_mask[:, 1:-1]],
+            axis=1)
+        hidden = t5m.t5_stack(params["t5"], t5cfg, input_ids=tok_ids,
+                              attention_mask=att, is_decoder=True,
+                              encoder_hidden_states=expanded)
+        return t5m.t5_lm_logits(params["t5"], t5cfg, hidden)
     else:
         raise NotImplementedError(cfg.decoding_strategy)
 

@@ -120,6 +120,111 @@ def token_decoder_params_from_state_dict(sd, cfg: TokenDecoderConfig, *,
     return params
 
 
+def roberta_params_from_state_dict(sd: Mapping[str, np.ndarray], num_layers: int,
+                                   *, prefix: str = "", dtype=jnp.float32):
+    """HF RobertaModel state dict -> models/roberta.py pytree."""
+    import jax
+
+    def get(name):
+        return _np(sd[prefix + name])
+
+    layers = []
+    for i in range(num_layers):
+        l = f"encoder.layer.{i}."
+        layers.append({
+            "attn": {
+                "q": {"kernel": get(l + "attention.self.query.weight").T,
+                      "bias": get(l + "attention.self.query.bias")},
+                "k": {"kernel": get(l + "attention.self.key.weight").T,
+                      "bias": get(l + "attention.self.key.bias")},
+                "v": {"kernel": get(l + "attention.self.value.weight").T,
+                      "bias": get(l + "attention.self.value.bias")},
+                "out": {"kernel": get(l + "attention.output.dense.weight").T,
+                        "bias": get(l + "attention.output.dense.bias")},
+            },
+            "attn_ln": {"scale": get(l + "attention.output.LayerNorm.weight"),
+                        "bias": get(l + "attention.output.LayerNorm.bias")},
+            "mlp": {"up": {"kernel": get(l + "intermediate.dense.weight").T,
+                           "bias": get(l + "intermediate.dense.bias")},
+                    "down": {"kernel": get(l + "output.dense.weight").T,
+                             "bias": get(l + "output.dense.bias")}},
+            "mlp_ln": {"scale": get(l + "output.LayerNorm.weight"),
+                       "bias": get(l + "output.LayerNorm.bias")},
+        })
+    stacked = jax.tree.map(lambda *xs: jnp.asarray(np.stack(xs), dtype), *layers)
+    return {
+        "word_embeddings": {"weight": jnp.asarray(
+            get("embeddings.word_embeddings.weight"), dtype)},
+        "position_embeddings": {"weight": jnp.asarray(
+            get("embeddings.position_embeddings.weight"), dtype)},
+        "token_type_embeddings": {"weight": jnp.asarray(
+            get("embeddings.token_type_embeddings.weight"), dtype)},
+        "embed_ln": {"scale": jnp.asarray(get("embeddings.LayerNorm.weight"), dtype),
+                     "bias": jnp.asarray(get("embeddings.LayerNorm.bias"), dtype)},
+        "layers": stacked,
+    }
+
+
+def t5_stack_params_from_state_dict(sd: Mapping[str, np.ndarray],
+                                    num_layers: int, *, is_decoder: bool,
+                                    prefix: str = "", dtype=jnp.float32):
+    """HF T5Stack state dict (e.g. ``encoder.`` / ``decoder.`` sub-tree of a
+    T5Model) -> models/t5.py pytree. T5 linears have no bias; kernels
+    transpose to [in, out]."""
+    import jax
+
+    def get(name):
+        return _np(sd[prefix + name])
+
+    def dense(name):
+        return {"kernel": jnp.asarray(get(name + ".weight").T, dtype)}
+
+    layers = []
+    for i in range(num_layers):
+        b = f"block.{i}."
+        p = {
+            "self_attn": {"q": dense(b + "layer.0.SelfAttention.q"),
+                          "k": dense(b + "layer.0.SelfAttention.k"),
+                          "v": dense(b + "layer.0.SelfAttention.v"),
+                          "o": dense(b + "layer.0.SelfAttention.o")},
+            "self_ln": {"scale": jnp.asarray(
+                get(b + "layer.0.layer_norm.weight"), dtype)},
+        }
+        if is_decoder:
+            p["cross_attn"] = {"q": dense(b + "layer.1.EncDecAttention.q"),
+                               "k": dense(b + "layer.1.EncDecAttention.k"),
+                               "v": dense(b + "layer.1.EncDecAttention.v"),
+                               "o": dense(b + "layer.1.EncDecAttention.o")}
+            p["cross_ln"] = {"scale": jnp.asarray(
+                get(b + "layer.1.layer_norm.weight"), dtype)}
+            ff = b + "layer.2."
+        else:
+            ff = b + "layer.1."
+        p["mlp"] = {"wi": dense(ff + "DenseReluDense.wi"),
+                    "wo": dense(ff + "DenseReluDense.wo")}
+        p["mlp_ln"] = {"scale": jnp.asarray(get(ff + "layer_norm.weight"),
+                                            dtype)}
+        layers.append(p)
+
+    import jax
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs, 0), *layers)
+    params = {
+        "layers": stacked,
+        "rel_bias": {"weight": jnp.asarray(get(
+            "block.0.layer.0.SelfAttention.relative_attention_bias.weight"),
+            dtype)},
+        "final_ln": {"scale": jnp.asarray(get("final_layer_norm.weight"),
+                                          dtype)},
+    }
+    emb_key = prefix + "embed_tokens.weight"
+    if emb_key in sd:
+        params["embed"] = {"weight": jnp.asarray(_np(sd[emb_key]), dtype)}
+    elif "shared.weight" in sd:
+        params["embed"] = {"weight": jnp.asarray(_np(sd["shared.weight"]),
+                                                 dtype)}
+    return params
+
+
 def block_transformer_params_from_state_dict(sd, cfg: BlockTransformerConfig,
                                              dtype=jnp.float32):
     """Combined Trainer-checkpoint state dict (prefixed component names)."""
