@@ -272,3 +272,47 @@ def load_checkpoint(path: str, cfg: BlockTransformerConfig, dtype=jnp.bfloat16):
         }
     sd = _load_safetensors_dir(path)
     return block_transformer_params_from_state_dict(sd, cfg, dtype=dtype)
+
+
+def gpt_neo_params_from_state_dict(sd, num_layers: int, *, prefix: str = "",
+                                   dtype=jnp.float32):
+    """HF GPTNeoForCausalLM/GPTNeoModel state dict -> models/gpt_neo.py tree."""
+    import jax
+
+    g = prefix + ("transformer." if any(k.startswith(prefix + "transformer.")
+                                        for k in sd) else "")
+
+    def get(name):
+        return _np(sd[g + name])
+
+    def dense(name, bias=True):
+        p = {"kernel": jnp.asarray(get(name + ".weight").T, dtype)}
+        if bias:
+            p["bias"] = jnp.asarray(get(name + ".bias"), dtype)
+        return p
+
+    layers = []
+    for i in range(num_layers):
+        b = f"h.{i}."
+        layers.append({
+            "ln1": {"scale": jnp.asarray(get(b + "ln_1.weight"), dtype),
+                    "bias": jnp.asarray(get(b + "ln_1.bias"), dtype)},
+            "ln2": {"scale": jnp.asarray(get(b + "ln_2.weight"), dtype),
+                    "bias": jnp.asarray(get(b + "ln_2.bias"), dtype)},
+            "attn": {
+                "q": dense(b + "attn.attention.q_proj", bias=False),
+                "k": dense(b + "attn.attention.k_proj", bias=False),
+                "v": dense(b + "attn.attention.v_proj", bias=False),
+                "out": dense(b + "attn.attention.out_proj"),
+            },
+            "mlp": {"up": dense(b + "mlp.c_fc"),
+                    "down": dense(b + "mlp.c_proj")},
+        })
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs, 0), *layers)
+    return {
+        "layers": stacked,
+        "final_ln": {"scale": jnp.asarray(get("ln_f.weight"), dtype),
+                     "bias": jnp.asarray(get("ln_f.bias"), dtype)},
+        "wte": {"weight": jnp.asarray(get("wte.weight"), dtype)},
+        "wpe": {"weight": jnp.asarray(get("wpe.weight"), dtype)},
+    }
