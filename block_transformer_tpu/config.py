@@ -150,6 +150,10 @@ class BlockTransformerConfig:
     embedder: EmbedderConfig = field(default_factory=EmbedderConfig)
     block_decoder: NeoXConfig = field(default_factory=NeoXConfig)
     token_decoder: TokenDecoderConfig = field(default_factory=TokenDecoderConfig)
+    # block decoder family: "gpt-neo-x" (main) or "gpt-neo" (ablation;
+    # alternating global/local band attention, learned positions)
+    block_decoder_cls: str = "gpt-neo-x"
+    block_decoder_window: int = 256   # gpt-neo local window (block units)
     use_token_decoding_loss: bool = True
     use_block_decoding_loss: bool = False
     block_decoding_loss_weight: float = 1.0

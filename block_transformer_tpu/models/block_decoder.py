@@ -23,19 +23,42 @@ from block_transformer_tpu.models import neox
 from block_transformer_tpu.ops import masks
 
 
-def init_block_decoder_params(key, cfg: NeoXConfig, dtype=jnp.float32):
+def _gpt_neo_cfg(cfg: NeoXConfig, window: int):
+    from block_transformer_tpu.models.gpt_neo import GPTNeoConfig
+    return GPTNeoConfig(vocab_size=cfg.vocab_size, hidden_size=cfg.hidden_size,
+                        num_layers=cfg.num_layers, num_heads=cfg.num_heads,
+                        intermediate_size=cfg.intermediate_size,
+                        max_position_embeddings=cfg.max_position_embeddings,
+                        window_size=window,
+                        pad_token_id=cfg.pad_token_id,
+                        eos_token_id=cfg.eos_token_id)
+
+
+def init_block_decoder_params(key, cfg: NeoXConfig, dtype=jnp.float32,
+                              cls: str = "gpt-neo-x", window: int = 256):
+    if cls == "gpt-neo":
+        from block_transformer_tpu.models import gpt_neo as gn
+        return gn.init_gpt_neo_params(key, _gpt_neo_cfg(cfg, window),
+                                      with_embed=True, with_lm_head=False,
+                                      dtype=dtype)
     return neox.init_neox_params(key, cfg, with_embed_in=False,
                                  with_lm_head=False, dtype=dtype)
 
 
 def block_decoder_forward(params, cfg: NeoXConfig, inputs_embeds,
                           block_attention_mask, n_embedding_tokens: int,
-                          remat: bool = False):
+                          remat: bool = False, cls: str = "gpt-neo-x",
+                          window: int = 256):
     """inputs_embeds: [B, N * n_emb, hidden]; block_attention_mask: [B, N].
 
     Returns hidden states [B, N * n_emb, hidden] (final layer norm applied).
     """
     B, S, _ = inputs_embeds.shape
+    if cls == "gpt-neo":
+        from block_transformer_tpu.models import gpt_neo as gn
+        return gn.gpt_neo_block_decoder_forward(
+            params, _gpt_neo_cfg(cfg, window), inputs_embeds,
+            block_attention_mask, n_embedding_tokens)
     mask = masks.block_decoder_train_mask(block_attention_mask,
                                           n_embedding_tokens)
     positions = jnp.arange(S, dtype=jnp.int32)

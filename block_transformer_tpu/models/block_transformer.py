@@ -33,7 +33,9 @@ def init_block_transformer_params(key, cfg: BlockTransformerConfig,
     k1, k2, k3 = jax.random.split(key, 3)
     return {
         "embedder": emb.init_embedder_params(k1, cfg.embedder, cfg.block_length, dtype),
-        "block_decoder": bd.init_block_decoder_params(k2, cfg.block_decoder, dtype),
+        "block_decoder": bd.init_block_decoder_params(
+            k2, cfg.block_decoder, dtype, cls=cfg.block_decoder_cls,
+            window=cfg.block_decoder_window),
         "token_decoder": td.init_token_decoder_params(
             k3, cfg.token_decoder, cfg.embedder.projection_hidden_size, dtype),
     }
@@ -93,7 +95,9 @@ def block_transformer_forward(params, cfg: BlockTransformerConfig,
     # ---- block decoding --------------------------------------------------
     hidden = bd.block_decoder_forward(params["block_decoder"], cfg.block_decoder,
                                       inputs_embeds, block_attention_mask,
-                                      n_emb, remat=remat)
+                                      n_emb, remat=remat,
+                                      cls=cfg.block_decoder_cls,
+                                      window=cfg.block_decoder_window)
 
     block_loss = None
     if cfg.use_block_decoding_loss and labels is not None:

@@ -42,6 +42,17 @@ def _t5_cfg(cfg: TokenDecoderConfig):
                     pad_token_id=n.pad_token_id, eos_token_id=n.eos_token_id)
 
 
+def _gpt_neo_cfg(cfg: TokenDecoderConfig):
+    from block_transformer_tpu.models.gpt_neo import GPTNeoConfig
+    n = cfg.neox
+    return GPTNeoConfig(vocab_size=n.vocab_size, hidden_size=n.hidden_size,
+                        num_layers=n.num_layers, num_heads=n.num_heads,
+                        intermediate_size=n.intermediate_size,
+                        max_position_embeddings=n.max_position_embeddings,
+                        pad_token_id=n.pad_token_id,
+                        eos_token_id=n.eos_token_id)
+
+
 def init_token_decoder_params(key, cfg: TokenDecoderConfig, projection_hidden_size: int,
                               dtype=jnp.float32):
     k_stack, k_exp = jax.random.split(key)
@@ -49,6 +60,10 @@ def init_token_decoder_params(key, cfg: TokenDecoderConfig, projection_hidden_si
         from block_transformer_tpu.models import t5 as t5m
         params = {"t5": t5m.init_t5_stack_params(k_stack, _t5_cfg(cfg),
                                                  is_decoder=True, dtype=dtype)}
+    elif cfg.cls == "gpt-neo":
+        from block_transformer_tpu.models import gpt_neo as gn
+        params = {"gpt_neo": gn.init_gpt_neo_params(
+            k_stack, _gpt_neo_cfg(cfg), with_embed=True, dtype=dtype)}
     else:
         params = neox.init_neox_params(k_stack, cfg.neox, with_embed_in=True,
                                        with_lm_head=True, dtype=dtype)
@@ -101,33 +116,47 @@ def token_decoder_train_forward(params, cfg: TokenDecoderConfig,
     expanded = expand_block_embeddings(params, cfg, block_embeddings,
                                        expansion_ratio)  # [Bb, n_exp, h]
 
+    is_gpt_neo = cfg.cls == "gpt-neo"
+
+    def _embed(ids):
+        if is_gpt_neo:
+            return params["gpt_neo"]["wte"]["weight"][ids]
+        return neox.embed_tokens(params, ids)
+
+    def _stack(x, mask, positions):
+        if is_gpt_neo:
+            from block_transformer_tpu.models import gpt_neo as gn
+            return gn.gpt_neo_token_decoder_forward(
+                params["gpt_neo"], _gpt_neo_cfg(cfg), x, mask)
+        h, _ = neox.neox_stack(params, x, cfg=cfg.neox, mask=mask,
+                               positions=positions, remat=remat)
+        return h
+
     if cfg.decoding_strategy == "prefix":
         # discard last input token (static analogue of
         # discard_redundant_tokens, base.py:281), then drop BOS and prepend
         # the expanded prefix (base.py:489-500).
         tok_ids = input_ids[:, 1:-1]                       # x1..x_{L-1}
-        tok_embeds = neox.embed_tokens(params, tok_ids)
+        tok_embeds = _embed(tok_ids)
         x = jnp.concatenate([expanded.astype(tok_embeds.dtype), tok_embeds], axis=1)
         # adapted attention mask: [ones(n_exp), a1..a_{L-1}]
         mask = masks.token_decoder_train_mask(
             attention_mask[:, 1:-1], n_prefix=n_exp)
         S = n_exp + L - 1
         positions = jnp.arange(S, dtype=jnp.int32)
-        hidden, _ = neox.neox_stack(params, x, cfg=cfg.neox, mask=mask,
-                                    positions=positions, remat=remat)
+        hidden = _stack(x, mask, positions)
         # drop redundant output prefix of length n_exp - 1 (base.py:321-329)
         hidden = hidden[:, n_exp - 1:, :]                  # [Bb, L, h]
     elif cfg.decoding_strategy == "summation":
         # keep BOS, add expanded embedding positionwise (base.py:504-536);
         # n_expanded_emb must equal block_length (base.py:56-59).
         tok_ids = input_ids[:, :-1]                        # [BOS, x1..x_{L-1}]
-        tok_embeds = neox.embed_tokens(params, tok_ids)
+        tok_embeds = _embed(tok_ids)
         x = tok_embeds + expanded[:, :L, :].astype(tok_embeds.dtype)
         mask = masks.token_decoder_train_mask(
             attention_mask[:, 1:-1], n_prefix=1)
         positions = jnp.arange(L, dtype=jnp.int32)
-        hidden, _ = neox.neox_stack(params, x, cfg=cfg.neox, mask=mask,
-                                    positions=positions, remat=remat)
+        hidden = _stack(x, mask, positions)
     elif cfg.decoding_strategy == "cross_attention":
         # T5 decoder: keep BOS prefix, cross-attend to the expanded block
         # embeddings (token_decoder/base.py:538-552, t5.py:58-72); adapted
@@ -145,6 +174,10 @@ def token_decoder_train_forward(params, cfg: TokenDecoderConfig,
     else:
         raise NotImplementedError(cfg.decoding_strategy)
 
+    if is_gpt_neo:
+        # tied head (GPT-Neo lm_head shares wte)
+        return jnp.einsum("blh,vh->blv", hidden.astype(jnp.float32),
+                          params["gpt_neo"]["wte"]["weight"].astype(jnp.float32))
     return neox.lm_logits(params, hidden)                  # [Bb, L, V] fp32
 
 

@@ -85,3 +85,15 @@ def test_cross_attention_requires_t5():
     with pytest.raises(ValueError):
         TokenDecoderConfig(neox=_neox(), decoding_strategy="cross_attention",
                            cls="gpt-neo-x")
+
+
+def test_gpt_neo_composite_ablation():
+    """GPT-Neo block + token decoders through the full composite."""
+    emb = EmbedderConfig(vocab_size=V, hidden_size=H // L,
+                         projection_hidden_size=H)
+    cfg = BlockTransformerConfig(
+        block_length=L, embedder=emb, block_decoder=_neox(),
+        token_decoder=TokenDecoderConfig(neox=_neox(), expansion_ratio=2,
+                                         cls="gpt-neo"),
+        block_decoder_cls="gpt-neo", block_decoder_window=4)
+    _run(cfg)
