@@ -31,7 +31,6 @@ from block_transformer_tpu.config import BlockTransformerConfig
 from block_transformer_tpu.inference import generate as gen
 from block_transformer_tpu.models import embedder as emb
 from block_transformer_tpu.models import neox
-from block_transformer_tpu.models import token_decoder as td
 from block_transformer_tpu.ops import masks
 
 
@@ -83,6 +82,7 @@ class ContinuousBatchingEngine:
         # host-side bookkeeping
         self.active: Dict[int, Request] = {}   # slot -> request
         self.waiting: List[Request] = []
+        self.completed: List[Request] = []
         self.stats = EngineStats()
         self._uid = 0
 
@@ -248,17 +248,18 @@ class ContinuousBatchingEngine:
                 req.done = True
                 finished.append(s)
         for s in finished:
+            self.completed.append(self.active[s])
             del self.active[s]
             self.stats.prompts_finished += 1
 
     def run(self, max_steps: int = 10_000) -> List[Request]:
-        done: List[Request] = []
-        seen = set()
+        """Drive steps until all submitted work finishes (or max_steps);
+        returns the completed requests."""
         for _ in range(max_steps):
             if not self.has_work():
                 break
             self.step()
-        return done
+        return self.completed
 
 
 def _scatter_valid(kv_valid, write_pos, valid_new, n):

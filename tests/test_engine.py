@@ -74,3 +74,14 @@ def test_engine_streaming_and_stats():
     got = [t for _, ts in chunks for t in ts]
     assert 0 < len(got) <= 6
     assert eng.stats.tokens_generated == len(got)
+
+
+def test_engine_run_returns_completed():
+    cfg, params = _setup(seed=7)
+    rng = np.random.default_rng(7)
+    eng = ContinuousBatchingEngine(params, cfg, n_slots=2, max_blocks=12)
+    u1 = eng.submit(rng.integers(1, VOCAB, size=8), 4)
+    u2 = eng.submit(rng.integers(1, VOCAB, size=4), 4)
+    done = eng.run(max_steps=40)
+    assert {r.uid for r in done} == {u1, u2}
+    assert all(r.done for r in done)

@@ -126,3 +126,24 @@ def test_int8_kv_cache_generation_close():
     # and the first generated block should mostly agree
     agree = (a[:, 4] == b[:, 4]).mean()
     assert agree >= 0.5, agree
+
+
+def test_int4_model_forward():
+    """INT4 weight-only quantized composite forward stays sane."""
+    from tests.test_block_parity import make_cfg, make_inputs
+    from block_transformer_tpu.models import block_transformer as bt
+
+    cfg = make_cfg()
+    params = bt.init_block_transformer_params(jax.random.PRNGKey(0), cfg)
+    q4 = quant.quantize_block_transformer(params, bits=4)
+    ids, att, bam = make_inputs()
+    out_fp = bt.block_transformer_forward(params, cfg, jnp.asarray(ids),
+                                          jnp.asarray(att), jnp.asarray(bam))
+    out_q = bt.block_transformer_forward(q4, cfg, jnp.asarray(ids),
+                                         jnp.asarray(att), jnp.asarray(bam))
+    assert np.isfinite(np.asarray(out_q.logits)).all()
+    # int4 is lossy but should preserve coarse token ranking on most slots
+    sel = (att[:, 1:, :] * bam[:, 1:, None]).astype(bool)
+    agree = (np.asarray(out_fp.logits.argmax(-1)) ==
+             np.asarray(out_q.logits.argmax(-1)))[sel]
+    assert agree.mean() > 0.5, agree.mean()
