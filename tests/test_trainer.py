@@ -57,3 +57,22 @@ def test_trainer_end_to_end(tmp_path):
     tcfg.stop_steps = 10
     state2 = trainer2.train(resume=True)
     assert int(state2.step) == 10
+
+
+def test_vanilla_trainer_end_to_end(tmp_path):
+    from block_transformer_tpu.config import NeoXConfig
+    from block_transformer_tpu.train.vanilla_trainer import VanillaTrainer
+    cfg = NeoXConfig(vocab_size=96, hidden_size=64, num_layers=1, num_heads=4,
+                     intermediate_size=256, max_position_embeddings=64)
+    tcfg = TrainerConfig(output_dir=str(tmp_path), learning_rate=3e-3,
+                         num_train_steps=8, num_warmup_steps=2,
+                         total_batch_size=4, max_length=32, save_steps=8,
+                         logging_steps=2, n_data=2, n_model=4)
+    corpus = make_dataset(vocab=96, max_length=32).corpus
+    from block_transformer_tpu.data.packing import PackedDataset
+    ds = PackedDataset(corpus, 32, eos_token=0, block_length=None)
+    state = VanillaTrainer(cfg, tcfg, ds).train()
+    assert int(state.step) == 8
+    import json
+    recs = [json.loads(l) for l in open(tmp_path / "metrics.jsonl")]
+    assert recs[-1]["loss"] < recs[0]["loss"]
