@@ -41,6 +41,7 @@ class Request:
     max_new_tokens: int
     generated: List[int] = field(default_factory=list)
     done: bool = False
+    error: Optional[str] = None
     stream: Optional[Callable[[int, List[int]], None]] = None
 
 
@@ -64,9 +65,13 @@ class ContinuousBatchingEngine:
         self.temperature = temperature
         n = cfg.n_embedding_tokens
         ph = cfg.embedder.projection_hidden_size
-        # activation dtype: follow the (never-quantized) embedder table, not
-        # an arbitrary leaf (quantized trees carry int8 kernels)
-        dtype = params["embedder"]["embeddings"]["weight"].dtype
+        # activation dtype: follow a (never-quantized) embedder table — the
+        # lookup table or an encoder-embedder's word embeddings (quantized
+        # trees carry int8 kernels, so "first leaf" would be wrong)
+        e = params["embedder"]
+        table = (e.get("embeddings") or e.get("roberta", {}).get("word_embeddings")
+                 or e.get("t5", {}).get("embed"))
+        dtype = table["weight"].dtype
         cap = max_blocks * n
 
         # persistent device state (global cache + per-slot bookkeeping)
@@ -86,7 +91,7 @@ class ContinuousBatchingEngine:
         self.stats = EngineStats()
         self._uid = 0
 
-        self._prefill = functools.lru_cache(maxsize=None)(self._make_prefill)
+        self._prefill = self._make_prefill()   # jax.jit retraces per shape
         self._decode = self._make_decode()
 
     # ------------------------------------------------------------------
@@ -101,7 +106,7 @@ class ContinuousBatchingEngine:
         return bool(self.waiting or self.active)
 
     # ------------------------------------------------------------------
-    def _make_prefill(self, n_prompt_blocks: int):
+    def _make_prefill(self):
         cfg = self.cfg
         n = cfg.n_embedding_tokens
         cap = self.max_blocks * n
@@ -115,7 +120,8 @@ class ContinuousBatchingEngine:
             we write at rows [slot] with lax.dynamic_update_index_in_dim.
             """
             be = emb.embed_blocks(params["embedder"], cfg.embedder,
-                                  cfg.block_length, ids)       # [1, N, n, ph]
+                                  cfg.block_length, ids,
+                                  attention_mask=att)          # [1, N, n, ph]
             x = be.reshape(1, -1, be.shape[-1])
             S = x.shape[1]
             valid_row = jnp.zeros((1, cap), jnp.int32)
@@ -201,11 +207,17 @@ class ContinuousBatchingEngine:
             req = self.waiting.pop(0)
             d = gen.preprocess_inputs(self.cfg, req.prompt[None])
             N = d["input_ids"].shape[1]
-            if N + (req.max_new_tokens + L - 1) // L >= self.max_blocks:
-                req.done = True   # too long for the pool
+            if N + (req.max_new_tokens + L - 1) // L > self.max_blocks:
+                # too long for this pool: surface as completed-with-error
+                # instead of vanishing (callers poll run()/completed)
+                req.done = True
+                req.error = (f"prompt needs {N} blocks + "
+                             f"{(req.max_new_tokens + L - 1) // L} generated "
+                             f"> pool max_blocks={self.max_blocks}")
+                self.completed.append(req)
+                free.insert(0, slot)
                 continue
-            prefill = self._prefill(N)
-            self.cache, self.kv_valid, self.next_embeds = prefill(
+            self.cache, self.kv_valid, self.next_embeds = self._prefill(
                 self.params, self.cache, self.kv_valid, self.next_embeds,
                 jnp.int32(slot), jnp.asarray(d["input_ids"]),
                 jnp.asarray(d["attention_mask"]),
@@ -275,28 +287,23 @@ def _per_slot_stack(params, cfg, x, mask, positions, cache: neox.KVCache,
     """neox stack where each batch row writes its K/V at its own offset.
 
     x: [B, n, h]; positions: [B, n]; write_pos: [B] (embedding-token units).
+    Reuses neox.layer_qkv / neox.layer_finish so engine numerics can never
+    drift from the core stack; only the per-row scatter differs.
     """
     B, S, _ = x.shape
+    H, D = cfg.num_heads, cfg.head_dim
     cos, sin = neox.rope_tables(cfg, max(cfg.max_position_embeddings,
                                          cache.k.shape[3]))
 
     def body(h, layer_in):
         p, k_l, v_l = layer_in     # k_l/v_l: [B, H, cap, D]
-        from block_transformer_tpu.models.neox import (apply_rope, dense,
-                                                       layer_norm, _attention)
-        H, D = cfg.num_heads, cfg.head_dim
-        attn_in = layer_norm(h, p["ln1"], cfg.layer_norm_eps)
-        qkv = dense(attn_in, p["attn"]["qkv"])
-        qkv = qkv.reshape(B, S, 3, H, D).transpose(2, 0, 3, 1, 4)
-        q, k, v = qkv[0], qkv[1], qkv[2]
-        q = apply_rope(q, cos, sin, positions)
-        k = apply_rope(k, cos, sin, positions)
+        q, k, v = neox.layer_qkv(p, h, cfg=cfg, cos=cos, sin=sin,
+                                 positions=positions)
 
         # scatter per-row at write_pos
         cols = jnp.arange(k_l.shape[2], dtype=jnp.int32)
         sel = ((cols[None, :] >= write_pos[:, None])
                & (cols[None, :] < write_pos[:, None] + S))   # [B, cap]
-        # gather the new slice into cap-aligned layout: position w+j <- j
         idx = jnp.clip(cols[None, :] - write_pos[:, None], 0, S - 1)  # [B, cap]
         k_new = jnp.take_along_axis(
             k.transpose(0, 2, 1, 3), idx[:, :, None, None].repeat(H, 2), axis=1)
@@ -307,24 +314,13 @@ def _per_slot_stack(params, cfg, x, mask, positions, cache: neox.KVCache,
         v_full = jnp.where(sel[:, :, None, None], v_new,
                            v_l.transpose(0, 2, 1, 3)).transpose(0, 2, 1, 3)
 
-        attn_out = _attention(q, k_full.astype(q.dtype),
-                              v_full.astype(q.dtype), mask, cfg.attn_impl)
-        attn_out = attn_out.transpose(0, 2, 1, 3).reshape(B, S, H * D)
-        attn_out = dense(attn_out, p["attn"]["out"])
-        mlp_in = layer_norm(h, p["ln2"], cfg.layer_norm_eps)
-        mlp_out = dense(jax.nn.gelu(dense(mlp_in, p["mlp"]["up"]),
-                                    approximate=False), p["mlp"]["down"])
-        if cfg.use_parallel_residual:
-            h = h + attn_out + mlp_out
-        else:
-            h = h + attn_out
-            mlp_in2 = layer_norm(h, p["ln2"], cfg.layer_norm_eps)
-            h = h + dense(jax.nn.gelu(dense(mlp_in2, p["mlp"]["up"]),
-                                      approximate=False), p["mlp"]["down"])
+        from block_transformer_tpu.models.neox import _attention
+        attn = _attention(q, k_full.astype(q.dtype), v_full.astype(q.dtype),
+                          mask, cfg.attn_impl)
+        h = neox.layer_finish(p, h, attn, cfg=cfg)
         return h, (k_full.astype(k_l.dtype), v_full.astype(v_l.dtype))
 
     h, (new_k, new_v) = jax.lax.scan(body, x, (params["layers"], cache.k,
                                                cache.v))
-    from block_transformer_tpu.models.neox import layer_norm as ln
-    h = ln(h, params["final_ln"], cfg.layer_norm_eps)
+    h = neox.layer_norm(h, params["final_ln"], cfg.layer_norm_eps)
     return h, neox.KVCache(new_k, new_v, cache.length)

@@ -152,7 +152,8 @@ def generate_blocks(params, cfg: BlockTransformerConfig, input_ids,
     # activations scale with the chunk, not the whole prompt — this is what
     # lets decode batch sizes reach b128+ at p2048 on one chip.
     block_embeds = emb.embed_blocks(params["embedder"], cfg.embedder,
-                                    cfg.block_length, input_ids)  # [B,N,n,ph]
+                                    cfg.block_length, input_ids,
+                                    attention_mask=attention_mask)  # [B,N,n,ph]
     inputs_embeds = block_embeds.reshape(B, N * n, ph)
     cache_cls = (neox.QuantKVCache if kv_cache == "int8" else neox.KVCache)
     cache = cache_cls.create(cfg.block_decoder, B, capacity,
@@ -167,24 +168,39 @@ def generate_blocks(params, cfg: BlockTransformerConfig, input_ids,
             params, cfg, inputs_embeds, cache, kv_valid, prompt_valid)
         next_embeds = hidden[:, -n:, :]  # output of the last prompt block
     else:
-        # largest divisor of the prompt length <= the requested chunk keeps
-        # shapes exact (no padded tail to re-derive the last hidden from)
-        chunk = max(d for d in range(1, chunk_req + 1) if S_total % d == 0)
-        n_chunks = S_total // chunk
-        x_chunks = inputs_embeds.reshape(B, n_chunks, chunk, ph
-                                         ).transpose(1, 0, 2, 3)
-        v_chunks = prompt_valid.reshape(B, n_chunks, chunk).transpose(1, 0, 2)
+        # pad the prompt up to a chunk multiple (padded tail is marked
+        # invalid, so it never influences attention, and decode overwrites
+        # those cache slots); each chunk emits its hidden states and the
+        # true last prompt position is indexed out afterwards
+        chunk = chunk_req
+        n_chunks = -(-S_total // chunk)
+        pad_to = n_chunks * chunk
+        if capacity < pad_to:
+            raise ValueError(
+                f"max_blocks capacity {capacity} < padded prefill {pad_to}; "
+                f"raise max_blocks or lower prefill_chunk_blocks")
+        x_pad = jnp.pad(inputs_embeds, ((0, 0), (0, pad_to - S_total), (0, 0)))
+        v_pad = jnp.pad(prompt_valid, ((0, 0), (0, pad_to - S_total)))
+        x_chunks = x_pad.reshape(B, n_chunks, chunk, ph).transpose(1, 0, 2, 3)
+        v_chunks = v_pad.reshape(B, n_chunks, chunk).transpose(1, 0, 2)
 
         def chunk_body(carry, xs):
             cache, kv_valid = carry
             xc, vc = xs
             hidden, cache, kv_valid = _block_decoder_step(
                 params, cfg, xc, cache, kv_valid, vc)
-            return (cache, kv_valid), hidden[:, -n:, :]
+            return (cache, kv_valid), hidden
 
-        (cache, kv_valid), last_hiddens = jax.lax.scan(
+        (cache, kv_valid), hiddens = jax.lax.scan(
             chunk_body, (cache, kv_valid), (x_chunks, v_chunks))
-        next_embeds = last_hiddens[-1]
+        # hiddens: [n_chunks, B, chunk, ph] -> [B, pad_to, ph]
+        hiddens = hiddens.transpose(1, 0, 2, 3).reshape(B, pad_to, ph)
+        next_embeds = hiddens[:, S_total - n:S_total, :]
+        # rewind the cache write frontier to the true prompt length so the
+        # first generated block overwrites the padded slots
+        cache = cache._replace(length=jnp.int32(S_total))
+        kv_valid = jnp.where(
+            jnp.arange(capacity)[None] < S_total, kv_valid, 0)
 
     tokens = jnp.zeros((B, max_blocks, L), jnp.int32)
     tokens = jax.lax.dynamic_update_slice(tokens, input_ids.astype(jnp.int32),

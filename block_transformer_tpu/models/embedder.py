@@ -31,11 +31,14 @@ def _heads_for(hidden: int, heads):
 
 def _roberta_cfg(cfg: EmbedderConfig):
     from block_transformer_tpu.models.roberta import RobertaConfig
+    # position ids reach pad_token_id + block_length + n_cls_tokens; 512
+    # rows (roberta standard is 514) covers any sane block/pad configuration
     return RobertaConfig(vocab_size=cfg.vocab_size, hidden_size=cfg.hidden_size,
                          num_layers=cfg.encoder_layers,
                          num_heads=_heads_for(cfg.hidden_size, cfg.encoder_heads),
                          intermediate_size=cfg.hidden_size * 4,
-                         max_position_embeddings=64, pad_token_id=cfg.pad_token_id)
+                         max_position_embeddings=512,
+                         pad_token_id=cfg.pad_token_id)
 
 
 def _t5_cfg(cfg: EmbedderConfig):

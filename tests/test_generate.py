@@ -110,3 +110,20 @@ def test_chunked_prefill_matches_unchunked():
                                   prefill_chunk_blocks=4)
     np.testing.assert_array_equal(np.asarray(full.tokens),
                                   np.asarray(chunked.tokens))
+
+
+def test_chunked_prefill_non_divisible():
+    """Prompt length not a multiple of the chunk (incl. prime counts)."""
+    cfg, params = _setup(seed=8)
+    rng = np.random.default_rng(8)
+    B, N = 2, 13   # prime block count
+    ids = rng.integers(1, VOCAB, size=(B, N, L))
+    att = np.ones_like(ids)
+    bam = att.any(-1).astype(np.int64)
+    args = (jnp.asarray(ids), jnp.asarray(att), jnp.asarray(bam))
+    full = gen.generate_blocks(params, cfg, *args, max_blocks=N + 4,
+                               prefill_chunk_blocks=512)
+    chunked = gen.generate_blocks(params, cfg, *args, max_blocks=N + 4,
+                                  prefill_chunk_blocks=5)
+    np.testing.assert_array_equal(np.asarray(full.tokens),
+                                  np.asarray(chunked.tokens))
