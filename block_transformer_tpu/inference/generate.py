@@ -44,15 +44,32 @@ class GenerationResult(NamedTuple):
     unfinished: jax.Array    # [B] int32
 
 
-def _sample(logits, greedy: bool, temperature: float, key):
+def _sample(logits, greedy: bool, temperature: float, key,
+            top_k: int = 0, top_p: float = 1.0):
+    """Greedy or temperature sampling with optional top-k / nucleus filters
+    (the sampling surface of the reference demo's generation_config)."""
     if greedy:
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
-    return jax.random.categorical(key, logits / temperature, axis=-1).astype(jnp.int32)
+    logits = logits / temperature
+    if top_k and top_k > 0:
+        kth = jnp.sort(logits, axis=-1)[..., -top_k][..., None]
+        logits = jnp.where(logits < kth, -jnp.inf, logits)
+    if top_p < 1.0:
+        sorted_logits = jnp.sort(logits, axis=-1)[..., ::-1]
+        probs = jax.nn.softmax(sorted_logits, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        # keep tokens until cumulative prob exceeds top_p (always keep top-1)
+        cutoff_idx = jnp.sum((cum - probs) < top_p, axis=-1) - 1
+        cutoff = jnp.take_along_axis(sorted_logits, cutoff_idx[..., None],
+                                     axis=-1)
+        logits = jnp.where(logits < cutoff, -jnp.inf, logits)
+    return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
 
 
 def decode_block_tokens(params, cfg: BlockTransformerConfig, block_embeddings,
                         *, greedy: bool = True, temperature: float = 1.0,
-                        key=None, n_tokens: Optional[int] = None):
+                        key=None, n_tokens: Optional[int] = None,
+                        top_k: int = 0, top_p: float = 1.0):
     """Inner loop: decode one block of tokens from block embeddings.
 
     block_embeddings: [B, n_emb, projection_hidden]. Returns tokens [B, L]
@@ -76,7 +93,7 @@ def decode_block_tokens(params, cfg: BlockTransformerConfig, block_embeddings,
     logits, cache = td.token_decoder_prefix_step(params["token_decoder"], tcfg,
                                                  expanded, cache)
     key, k0 = jax.random.split(key)
-    first = _sample(logits, greedy, temperature, k0)
+    first = _sample(logits, greedy, temperature, k0, top_k, top_p)
     alive = first != eos
     first = jnp.where(alive, first, pad)
     tokens0 = jnp.zeros((B, L), jnp.int32).at[:, 0].set(first)
@@ -88,7 +105,7 @@ def decode_block_tokens(params, cfg: BlockTransformerConfig, block_embeddings,
         # feed pad for dead rows (their outputs are ignored)
         logits, cache = td.token_decoder_token_step(
             params["token_decoder"], tcfg, jnp.where(alive, prev, pad), cache)
-        nxt = _sample(logits, greedy, temperature, kk)
+        nxt = _sample(logits, greedy, temperature, kk, top_k, top_p)
         emit = jnp.where(alive & (nxt != eos), nxt, pad)
         alive = alive & (nxt != eos)
         tokens = tokens.at[:, i].set(emit)
@@ -127,12 +144,13 @@ def _block_decoder_step(params, cfg: BlockTransformerConfig, inputs_embeds,
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "max_blocks", "greedy",
-                                             "temperature",
+                                             "temperature", "top_k", "top_p",
                                              "prefill_chunk_blocks",
                                              "kv_cache"))
 def generate_blocks(params, cfg: BlockTransformerConfig, input_ids,
                     attention_mask, block_attention_mask, *, max_blocks: int,
                     greedy: bool = True, temperature: float = 1.0,
+                    top_k: int = 0, top_p: float = 1.0,
                     key=None, prefill_chunk_blocks: int = 128,
                     kv_cache: str = "bf16") -> GenerationResult:
     """Block-format generation: input_ids/attention_mask [B, N, L],
@@ -220,6 +238,7 @@ def generate_blocks(params, cfg: BlockTransformerConfig, input_ids,
         new_tokens, inner_alive = decode_block_tokens(params, cfg, block_emb,
                                                       greedy=greedy,
                                                       temperature=temperature,
+                                                      top_k=top_k, top_p=top_p,
                                                       key=kb)
         new_tokens = jnp.where(alive[:, None], new_tokens, cfg.pad_token_id)
         # finished if an EOS was emitted in this block (the emitted EOS and
@@ -277,7 +296,8 @@ def preprocess_inputs(cfg: BlockTransformerConfig, input_ids, attention_mask=Non
 
 def generate(params, cfg: BlockTransformerConfig, input_ids,
              attention_mask=None, max_length: int = 100, greedy: bool = True,
-             temperature: float = 1.0, key=None):
+             temperature: float = 1.0, top_k: int = 0, top_p: float = 1.0,
+             key=None):
     """Vanilla-format generate: flat token ids in, flat token ids out
     (prompt + up to ``max_length`` total tokens, truncated at max_length)."""
     import numpy as np
@@ -289,7 +309,8 @@ def generate(params, cfg: BlockTransformerConfig, input_ids,
                           jnp.asarray(d["attention_mask"]),
                           jnp.asarray(d["block_attention_mask"]),
                           max_blocks=max_blocks, greedy=greedy,
-                          temperature=temperature, key=key)
+                          temperature=temperature, top_k=top_k, top_p=top_p,
+                          key=key)
     toks = np.asarray(res.tokens)[:, :int(res.n_blocks)].reshape(B, -1)
     toks = toks[:, pad_len:]
     return toks[:, :max_length]

@@ -127,3 +127,22 @@ def test_chunked_prefill_non_divisible():
                                   prefill_chunk_blocks=5)
     np.testing.assert_array_equal(np.asarray(full.tokens),
                                   np.asarray(chunked.tokens))
+
+
+def test_topk_topp_sampling():
+    import jax
+    from block_transformer_tpu.inference.generate import _sample
+    logits = jnp.asarray(np.log([[0.5, 0.3, 0.15, 0.05]]), jnp.float32)
+    key = jax.random.PRNGKey(0)
+    # top_k=1 == greedy
+    for i in range(5):
+        t = _sample(logits, False, 1.0, jax.random.fold_in(key, i), top_k=1)
+        assert int(t[0]) == 0
+    # top_p=0.5 keeps only token 0 (cum-probs: keep while cum-p_i < p)
+    for i in range(5):
+        t = _sample(logits, False, 1.0, jax.random.fold_in(key, i), top_p=0.5)
+        assert int(t[0]) == 0
+    # top_p=0.95 can draw tokens 0..2 but never the 0.05 tail token
+    draws = {int(_sample(logits, False, 1.0, jax.random.fold_in(key, i),
+                         top_p=0.9)[0]) for i in range(200)}
+    assert 3 not in draws and 0 in draws
