@@ -124,3 +124,43 @@ def test_perplexity_metrics():
     np.testing.assert_allclose(wp, np.exp(30 / 15))
     bpb = harness.bits_per_byte(pairs)
     np.testing.assert_allclose(bpb, 30 / 15 / np.log(2))
+
+
+def test_block_adapter_nopad_alignment():
+    """nopad variant: right-pad only; scored positions shift by L-1
+    (block_transformer_nopad.py semantics — first L-1 predictions are
+    unavailable and padded with zero logits)."""
+    cfg = make_cfg()
+    import jax
+    from block_transformer_tpu.models import block_transformer as bt
+    params = bt.init_block_transformer_params(jax.random.PRNGKey(3), cfg)
+    lm = adapters.BlockTransformerLM(params, cfg, CharTokenizer(),
+                                     max_length=64, batch_size=4, nopad=True)
+    ctx = [5, 6, 7, 8, 9, 10]
+    cont = [11, 12]
+    (ll, greedy), = lm._loglikelihood_tokens([(ctx, cont)])
+
+    # manual: inputs laid out WITHOUT left pad; forward logits flat index j
+    # predicts input position j+L; adapter re-aligns by prepending L-1 zero
+    # rows so row t predicts input t+1 like the pad variant
+    whole = ctx + cont
+    inp = whole[:-1]
+    S = len(inp)
+    total = S + ((-S) % L or L)
+    ids = np.zeros((1, total), np.int64)
+    ids[0, :S] = inp
+    att = np.zeros_like(ids)
+    att[0, :S] = 1
+    att[0, S] = 1
+    N = total // L
+    out = bt.block_transformer_forward(
+        params, cfg, jnp.asarray(ids.reshape(1, N, L)),
+        jnp.asarray(att.reshape(1, N, L)),
+        jnp.asarray(att.reshape(1, N, L).any(-1).astype(np.int64)))
+    flat = np.asarray(out.logits).reshape(1, (N - 1) * L, -1)
+    lp = flat - np.log(np.exp(flat - flat.max(-1, keepdims=True)
+                              ).sum(-1, keepdims=True)) - flat.max(-1, keepdims=True)
+    # without left padding, flat row r predicts input position r + L, so the
+    # logit for cont[j] (input position len(ctx)+j) sits at row len(ctx)+j-L
+    want = sum(lp[0, (len(ctx) + j) - L, t] for j, t in enumerate(cont))
+    np.testing.assert_allclose(ll, want, rtol=1e-4)
