@@ -52,17 +52,25 @@ class LM:
         return self._loglikelihood_tokens(ctx_enc)
 
     def loglikelihood_rolling(self, texts: Sequence[str]) -> List[float]:
+        """Disjoint prediction windows with one token of context (upstream
+        lm_eval ``get_rolling_token_windows(context_len=1)`` semantics: the
+        first window predicts up to ``max_length`` tokens conditioned on the
+        EOT prefix; later windows predict ``max_length - 1`` tokens
+        conditioned on the single preceding token)."""
         out = []
         for text in texts:
             toks = self.tok_encode(text)
-            # rolling windows with maximal context (disjoint windows of
-            # max_length, first window conditioned on EOT)
             reqs = []
-            for start in range(0, len(toks), self.max_length - 1):
-                window = toks[start:start + self.max_length - 1]
-                ctx = [self.eot_token_id] if start == 0 else \
-                    toks[max(0, start - 1):start]
-                reqs.append((ctx, window))
+            i = 0
+            while i < len(toks):
+                if i == 0:
+                    pred = toks[:self.max_length]
+                    ctx = [self.eot_token_id]
+                else:
+                    pred = toks[i:i + self.max_length - 1]
+                    ctx = [toks[i - 1]]
+                reqs.append((ctx, pred))
+                i += len(pred)
             scores = self._loglikelihood_tokens(reqs)
             out.append(sum(s for s, _ in scores))
         return out

@@ -164,3 +164,30 @@ def test_block_adapter_nopad_alignment():
     # logit for cont[j] (input position len(ctx)+j) sits at row len(ctx)+j-L
     want = sum(lp[0, (len(ctx) + j) - L, t] for j, t in enumerate(cont))
     np.testing.assert_allclose(ll, want, rtol=1e-4)
+
+
+def test_rolling_windows_cover_all_tokens_once():
+    """Rolling requests must partition the document exactly once with
+    1-token contexts (upstream context_len=1 window semantics)."""
+    captured = []
+
+    class CaptureLM(harness.LM):
+        max_length = 8
+        def tok_encode(self, s):
+            return list(range(2, 2 + len(s)))
+        def _loglikelihood_tokens(self, reqs):
+            captured.extend(reqs)
+            return [(-1.0, False)] * len(reqs)
+
+    lm = CaptureLM()
+    text = "x" * 20   # 20 tokens, max_length 8
+    (total,) = lm.loglikelihood_rolling([text])
+    preds = [cont for _, cont in captured]
+    # windows: 8 (first), then 7, 5
+    assert [len(p) for p in preds] == [8, 7, 5]
+    flat = [t for p in preds for t in p]
+    assert flat == list(range(2, 22))
+    # contexts: EOT then the single preceding token
+    assert captured[0][0] == [0]
+    assert captured[1][0] == [captured[0][1][-1]]
+    assert total == -3.0

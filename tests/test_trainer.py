@@ -76,3 +76,32 @@ def test_vanilla_trainer_end_to_end(tmp_path):
     import json
     recs = [json.loads(l) for l in open(tmp_path / "metrics.jsonl")]
     assert recs[-1]["loss"] < recs[0]["loss"]
+
+
+def test_trainer_with_zeroshot_eval_hook(tmp_path):
+    from block_transformer_tpu.train.eval_callback import make_zeroshot_eval_hook
+
+    class _Tok:
+        eos_token_id = 0
+        def encode(self, s):
+            return [ord(c) % 90 + 2 for c in s]
+
+    cfg = make_block_config("tiny", block_decoder_hidden=64,
+                            block_decoder_layers=1, vocab_size=96,
+                            max_length=32)
+    docs = {"hellaswag": [
+        {"ctx_a": "A", "ctx_b": "b.", "activity_label": "X",
+         "endings": ["one", "two"], "label": 0}]}
+    hook = make_zeroshot_eval_hook(cfg, _Tok(), ["hellaswag"], eval_steps=2,
+                                   output_dir=str(tmp_path), limit=1,
+                                   max_length=32, batch_size=2,
+                                   docs_by_task=docs)
+    tcfg = TrainerConfig(output_dir=str(tmp_path), num_train_steps=2,
+                         stop_steps=2, num_warmup_steps=1, total_batch_size=4,
+                         max_length=32, save_steps=2, logging_steps=1,
+                         remat=False, n_data=2, n_model=4)
+    trainer = Trainer(cfg, tcfg, make_dataset(), eval_hook=hook)
+    trainer.train()
+    import json
+    recs = [json.loads(l) for l in open(tmp_path / "zeroshot_eval.jsonl")]
+    assert recs and "hellaswag/acc" in recs[0]
