@@ -37,6 +37,8 @@ def _bucket(n: int, step: int = 128, lo: int = 128) -> int:
 class _TokenizedLM(LM):
     """Shared batching/scoring machinery over a logits function."""
 
+    pad_fill = 0   # batch-buffer fill token (overridden by model adapters)
+
     def __init__(self, tokenizer, max_length=2048, batch_size=8):
         self.tokenizer = tokenizer
         self.max_length = max_length
@@ -72,7 +74,10 @@ class _TokenizedLM(LM):
                 conts.append(cont)
             S = _bucket(max(len(s) for s in seqs))
             B = len(seqs)
-            inps = np.zeros((B, S), np.int32)
+            # fill with the pad token: the block adapter sets one attention
+            # bit on the slot after each row's content (the "EOS slot"),
+            # which must hold pad/EOS, not token 0
+            inps = np.full((B, S), self.pad_fill, np.int32)
             lengths = np.zeros((B,), np.int32)
             for r, s in enumerate(seqs):
                 inps[r, :len(s)] = s
@@ -132,6 +137,7 @@ class BlockTransformerLM(_GenerateMixin, _TokenizedLM):
         super().__init__(tokenizer, max_length, batch_size)
         self.params = params
         self.cfg = cfg
+        self.pad_fill = cfg.pad_token_id
         self.nopad = nopad
         self._jit = functools.lru_cache(maxsize=None)(self._make_fn)
 

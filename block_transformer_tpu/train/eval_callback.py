@@ -20,14 +20,18 @@ def make_zeroshot_eval_hook(cfg, tokenizer, task_names: Sequence[str],
     from block_transformer_tpu.eval import tasks as task_mod
 
     path = os.path.join(output_dir, "zeroshot_eval.jsonl")
+    # build the adapter and tasks ONCE: the adapter caches jitted forwards
+    # per length bucket (rebuilding would recompile every eval) and tasks
+    # hold their loaded datasets; only params are swapped per call
+    lm = adapters.BlockTransformerLM(None, cfg, tokenizer,
+                                     max_length=max_length,
+                                     batch_size=batch_size, nopad=nopad)
+    tasks = task_mod.get_tasks(task_names, docs_by_task)
 
     def hook(step: int, state: dict):
         if eval_steps <= 0 or step % eval_steps != 0:
             return None
-        lm = adapters.BlockTransformerLM(state["params"], cfg, tokenizer,
-                                         max_length=max_length,
-                                         batch_size=batch_size, nopad=nopad)
-        tasks = task_mod.get_tasks(task_names, docs_by_task)
+        lm.params = state["params"]
         results = harness.evaluate(lm, tasks, limit=limit)
         rec = {"step": step, **{f"{t}/{m}": v
                                 for t, ms in results["results"].items()

@@ -95,20 +95,29 @@ class Trainer:
         if tcfg.total_batch_size % self.micro_batch:
             raise ValueError("total_batch_size must divide by micro_batch_size")
         self.grad_accum = tcfg.total_batch_size // self.micro_batch
+        if tcfg.batch_size_rampup_steps and self.grad_accum == 1:
+            raise ValueError("batch_size_rampup_steps requires grad "
+                             "accumulation > 1 (set micro_batch_size)")
         # fp64 loss-by-position accumulator (reference semantics)
         self._lbp_sum = None
         self._lbp_count = 0
 
     # ------------------------------------------------------------------
-    def _batch_indices(self, step: int, accum_step: int, batch: int):
-        base = step * self.tcfg.total_batch_size + accum_step * self.micro_batch
-        return np.arange(base, base + batch) % len(self.dataset)
-
     def _effective_accum(self, step: int) -> int:
+        # reference rampup halves accumulation, rounding up
+        # (util/callback.py:147-180), and the dataloader keeps consuming
+        # samples contiguously — we mirror that with a sample cursor
         r = self.tcfg.batch_size_rampup_steps
         if r and step < r:
-            return max(1, self.grad_accum // 2)
+            return max(1, -(-self.grad_accum // 2))
         return self.grad_accum
+
+    def _samples_consumed_before(self, step: int) -> int:
+        r = self.tcfg.batch_size_rampup_steps or 0
+        half = max(1, -(-self.grad_accum // 2)) * self.micro_batch
+        full = self.grad_accum * self.micro_batch
+        ramp_steps = min(step, r)
+        return ramp_steps * half + (step - ramp_steps) * full
 
     def _log(self, record: dict):
         with open(self._metrics_path, "a") as f:
@@ -128,6 +137,7 @@ class Trainer:
 
         batch_sharding = jax.sharding.NamedSharding(
             self.mesh, jax.sharding.PartitionSpec("data"))
+        cursor = self._samples_consumed_before(start_step)
         with jax.sharding.set_mesh(self.mesh):
             for step in range(start_step, stop):
                 t0 = time.perf_counter()
@@ -135,7 +145,9 @@ class Trainer:
                 step_metrics = []
                 grads = self.zeros_fn(self.state.params)
                 for a in range(accum):
-                    idxs = self._batch_indices(step, a, self.micro_batch)
+                    idxs = (np.arange(cursor, cursor + self.micro_batch)
+                            % len(self.dataset))
+                    cursor += self.micro_batch
                     np_batch = make_train_batch(self.dataset, idxs,
                                                 self.model_cfg.block_length)
                     batch = {k: jax.device_put(v, batch_sharding)
@@ -160,8 +172,7 @@ class Trainer:
                            "lr": float(self.schedule(step + 1)),
                            "grad_norm": float(grad_norm),
                            "wall_time_s": dt,
-                           "tokens_seen": (step + 1) * tcfg.total_batch_size
-                           * tcfg.max_length,
+                           "tokens_seen": cursor * tcfg.max_length,
                            "loss_by_position":
                                (self._lbp_sum / self._lbp_count).tolist(),
                            **mean}

@@ -49,13 +49,19 @@ class VanillaTrainer:
             return vmod.vanilla_loss(params, cfg, batch["input_ids"],
                                      batch["attention_mask"], batch["labels"])
 
-        def train_step(state: TrainState, batch):
-            loss, grads = jax.value_and_grad(loss_fn)(state.params, batch)
+        def grad_step(params, batch, grads_acc):
+            loss, grads = jax.value_and_grad(loss_fn)(params, batch)
+            grads_acc = jax.tree.map(lambda a, g: a + g.astype(a.dtype),
+                                     grads_acc, grads)
+            return grads_acc, loss
+
+        def apply_step(state: TrainState, grads, n_accum):
+            grads = jax.tree.map(lambda g: (g / n_accum).astype(g.dtype), grads)
             updates, opt_state = self.tx.update(grads, state.opt_state,
                                                 state.params)
             params = jax.tree.map(lambda p, u: p + u.astype(p.dtype),
                                   state.params, updates)
-            return TrainState(params, opt_state, state.step + 1), loss
+            return TrainState(params, opt_state, state.step + 1)
 
         with jax.sharding.set_mesh(self.mesh):
             params = jax.jit(lambda k: vmod.init_vanilla_params(
@@ -67,8 +73,15 @@ class VanillaTrainer:
             self.state = TrainState(params=params,
                                     opt_state=self.tx.init(params),
                                     step=jnp.zeros((), jnp.int32))
-            self.step_fn = jax.jit(train_step, donate_argnums=(0,))
+            self.grad_fn = jax.jit(grad_step, donate_argnums=(2,))
+            self.apply_fn = jax.jit(apply_step, donate_argnums=(0, 1))
+            self.zeros_fn = jax.jit(lambda p: jax.tree.map(
+                lambda x: jnp.zeros(x.shape, jnp.float32), p))
         self._batch_sharding = NamedSharding(self.mesh, P("data"))
+        self.micro_batch = tcfg.micro_batch_size or tcfg.total_batch_size
+        if tcfg.total_batch_size % self.micro_batch:
+            raise ValueError("total_batch_size must divide by micro_batch_size")
+        self.grad_accum = tcfg.total_batch_size // self.micro_batch
 
     def train(self, resume: bool = False) -> TrainState:
         tcfg = self.tcfg
@@ -80,21 +93,30 @@ class VanillaTrainer:
                     tcfg.output_dir, latest, ckpt.abstract_like(self.state))
                 start = latest
         stop = tcfg.stop_steps or tcfg.num_train_steps
-        B = tcfg.total_batch_size
+        cursor = start * tcfg.total_batch_size
         with jax.sharding.set_mesh(self.mesh):
             for step in range(start, stop):
                 t0 = time.perf_counter()
-                idxs = np.arange(step * B, (step + 1) * B) % len(self.dataset)
-                raw = self.dataset.get_batch(idxs)
-                batch = {
-                    "input_ids": raw["input_ids"].astype(np.int32),
-                    "attention_mask": raw["attention_mask"].astype(np.int32),
-                    "labels": add_labels(raw["input_ids"],
-                                         raw["attention_mask"]).astype(np.int32),
-                }
-                batch = {k: jax.device_put(v, self._batch_sharding)
-                         for k, v in batch.items()}
-                self.state, loss = self.step_fn(self.state, batch)
+                grads = self.zeros_fn(self.state.params)
+                losses = []
+                for _ in range(self.grad_accum):
+                    idxs = (np.arange(cursor, cursor + self.micro_batch)
+                            % len(self.dataset))
+                    cursor += self.micro_batch
+                    raw = self.dataset.get_batch(idxs)
+                    batch = {
+                        "input_ids": raw["input_ids"].astype(np.int32),
+                        "attention_mask": raw["attention_mask"].astype(np.int32),
+                        "labels": add_labels(raw["input_ids"],
+                                             raw["attention_mask"]).astype(np.int32),
+                    }
+                    batch = {k: jax.device_put(v, self._batch_sharding)
+                             for k, v in batch.items()}
+                    grads, loss = self.grad_fn(self.state.params, batch, grads)
+                    losses.append(loss)
+                self.state = self.apply_fn(self.state, grads,
+                                           float(self.grad_accum))
+                loss = jnp.mean(jnp.stack(losses))
                 jax.block_until_ready(loss)
                 if (step + 1) % tcfg.logging_steps == 0 or step == stop - 1:
                     with open(self._metrics_path, "a") as f:
