@@ -37,7 +37,7 @@ def bench_block(model_name: str, batch, prefill: int, decode: int,
 
     dtype = jnp.bfloat16 if dtype_str == "bfloat16" else jnp.float32
     cfg = get_config(model_name)
-    if quantize:
+    if quantize and quantize != "none":
         from block_transformer_tpu.ops import quant
     if batch == "auto":
         batch = hbm.auto_batch(
@@ -47,7 +47,7 @@ def bench_block(model_name: str, batch, prefill: int, decode: int,
     batch = int(batch)
     params = jax.jit(lambda k: bt.init_block_transformer_params(
         k, cfg, dtype=dtype))(jax.random.PRNGKey(0))
-    if quantize:
+    if quantize and quantize != "none":
         params = jax.jit(lambda p: quant.quantize_block_transformer(
             p, bits=8 if quantize == "int8" else 4))(params)
     L = cfg.block_length
@@ -137,7 +137,10 @@ def main():
     ap.add_argument("--prefill", type=int, default=2048)
     ap.add_argument("--decode", type=int, default=128)
     ap.add_argument("--dtype", default="bfloat16")
-    ap.add_argument("--quantize", choices=["int8", "int4"], default=None)
+    ap.add_argument("--quantize", choices=["int8", "int4", "none"],
+                    default="int8",
+                    help="weight quantization (BASELINE.json operating "
+                    "point: int8 weights + int8 KV)")
     ap.add_argument("--kv", choices=["bf16", "int8"], default="int8",
                     help="global block-level KV cache dtype")
     args = ap.parse_args()
@@ -156,7 +159,7 @@ def main():
     ratio = block_tps / vanilla_tps if vanilla_tps > 0 else 0.0
     print(json.dumps({
         "metric": f"decode_tokens_per_sec[{args.model}"
-                  f"{'-' + args.quantize if args.quantize else ''}"
+                  f"{'-' + args.quantize if args.quantize and args.quantize != 'none' else ''}"
                   f"{'-kv8' if args.kv == 'int8' else ''} b{block_batch} "
                   f"p{args.prefill}/d{args.decode} vs {args.vanilla} "
                   f"b{vanilla_batch}]",

@@ -40,7 +40,11 @@ def apply_linear(x: jax.Array, p: dict, use_pallas: bool = None) -> jax.Array:
 
 def _int8_matmul(x, w_q, scale, use_pallas):
     if use_pallas is None:
-        use_pallas = _on_tpu()
+        # default to XLA's convert+dot: the current Pallas tiling measured
+        # slower end-to-end on v5e (RESULTS.md); opt back in per-call or via
+        # BT_PALLAS_INT8=1 once the kernel is head/row-batched
+        import os
+        use_pallas = _on_tpu() and os.environ.get("BT_PALLAS_INT8") == "1"
     lead = x.shape[:-1]
     K = x.shape[-1]
     N = w_q.shape[-1]
