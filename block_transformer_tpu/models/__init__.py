@@ -5,3 +5,6 @@ from block_transformer_tpu.models.block_transformer import (  # noqa: F401
 from block_transformer_tpu.models.vanilla import (  # noqa: F401
     init_vanilla_params, vanilla_forward, vanilla_loss,
 )
+from block_transformer_tpu.models.neox import (  # noqa: F401
+    KVCache, QuantKVCache,
+)
