@@ -160,6 +160,15 @@ def generate_blocks(params, cfg: BlockTransformerConfig, input_ids,
     B, N, L = input_ids.shape
     n = cfg.n_embedding_tokens
     ph = cfg.embedder.projection_hidden_size
+    if cfg.token_decoder.cls != "gpt-neo-x" or cfg.block_decoder_cls != "gpt-neo-x":
+        # decode-time cache stepping is implemented for the GPT-NeoX family
+        # (every main/released config); T5/GPT-Neo decoders are train/eval
+        # paths this round (like the reference, generation beyond the main
+        # family is ablation-only)
+        raise NotImplementedError(
+            "generation currently supports gpt-neo-x block/token decoders; "
+            f"got block={cfg.block_decoder_cls!r}, "
+            f"token={cfg.token_decoder.cls!r}")
     if key is None:
         key = jax.random.PRNGKey(0)
     capacity = max_blocks * n
