@@ -191,3 +191,46 @@ def test_rolling_windows_cover_all_tokens_once():
     assert captured[0][0] == [0]
     assert captured[1][0] == [captured[0][1][-1]]
     assert total == -3.0
+
+
+def test_caching_lm(tmp_path):
+    from block_transformer_tpu.eval.caching import CachingLM
+
+    class Counting(harness.LM):
+        max_length = 32
+        calls = 0
+        def tok_encode(self, s): return [ord(c) % 50 + 2 for c in s]
+        def _loglikelihood_tokens(self, reqs):
+            Counting.calls += len(reqs)
+            return [(-float(len(c)), False) for _, c in reqs]
+        def generate_until(self, reqs):
+            Counting.calls += len(reqs)
+            return ["out"] * len(reqs)
+
+    lm = CachingLM(Counting(), str(tmp_path / "cache.db"), cache_tag="step1")
+    reqs = [("ctx a", " one"), ("ctx b", " two")]
+    r1 = lm.loglikelihood(reqs)
+    n_after_first = Counting.calls
+    r2 = lm.loglikelihood(reqs)
+    assert r1 == r2
+    assert Counting.calls == n_after_first  # all hits, no recompute
+    # a new tag misses (different checkpoint)
+    lm2 = CachingLM(Counting(), str(tmp_path / "cache.db"), cache_tag="step2")
+    lm2.loglikelihood(reqs)
+    assert Counting.calls > n_after_first
+    g1 = lm.generate_until([("q", {"until": ["\n"]})])
+    g2 = lm.generate_until([("q", {"until": ["\n"]})])
+    assert g1 == g2 == ["out"]
+
+
+def test_filters():
+    from block_transformer_tpu.eval import filters as F
+    resp = ["The answer is 42.", "no numbers here"]
+    got = F.RegexFilter(r"-?\d+").apply(resp)
+    assert got == ["42", "[invalid]"]
+    assert F.WhitespaceFilter().apply(["  x  "]) == ["x"]
+    assert F.TakeFirst().apply(["a", "b"]) == ["a"]
+    assert F.MajorityVote().apply(["4", "5", "4"]) == ["4"]
+    out = F.apply_filters([F.RegexFilter(r"\d+"), F.MajorityVote()],
+                          ["is 7", "was 7", "got 9"])
+    assert out == ["7"]
