@@ -234,3 +234,17 @@ def test_filters():
     out = F.apply_filters([F.RegexFilter(r"\d+"), F.MajorityVote()],
                           ["is 7", "was 7", "got 9"])
     assert out == ["7"]
+
+
+def test_fewshot_sampler():
+    from block_transformer_tpu.eval.samplers import (FewshotSampler,
+                                                     build_fewshot_context)
+    task = ToyMC()
+    docs = task.docs()
+    sampler = FewshotSampler(docs, seed=0)
+    shots = sampler.sample(3, exclude_doc=docs[0])
+    assert len(shots) == 3 and docs[0] not in shots
+    ctx = build_fewshot_context(task, docs[0], 2, sampler)
+    # two exemplars with their gold answers, then the query
+    assert ctx.count(" good") == 2
+    assert ctx.endswith(task.doc_to_text(docs[0]))
