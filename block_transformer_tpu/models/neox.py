@@ -251,11 +251,71 @@ def neox_layer(p, x, *, cfg: NeoXConfig, mask, cos, sin, positions,
     return layer_finish(p, x, attn_out, cfg=cfg), new_kv
 
 
+def layer_view(layers, i):
+    """Per-layer view of the stacked ``layers`` pytree.
+
+    Linear nodes become ``StackedLinear`` wrappers (the fused Pallas
+    kernels select the layer via scalar prefetch — no materialized weight
+    slice; ops/linear.py); small leaves (layer norms, biases inside
+    non-linear nodes) are sliced with ``dynamic_index_in_dim``, which XLA
+    fuses into their consumers.
+    """
+    from block_transformer_tpu.ops.linear import StackedLinear
+
+    def walk(node):
+        if isinstance(node, dict):
+            if any(k.startswith("kernel") for k in node):
+                return StackedLinear(node, i)
+            return {k: walk(v) for k, v in node.items()}
+        return jax.lax.dynamic_index_in_dim(node, i, 0, keepdims=False)
+
+    return walk(layers)
+
+
+def _write_kv(buf, new, layer, write_pos):
+    """Write ``new`` into stacked buffer ``buf[layer]`` at ``write_pos``.
+
+    buf: values ``[L, B, H, cap, D]`` or scales ``[L, B, H, cap]``; new is
+    the same minus the layer axis with ``cap -> S``. write_pos: scalar
+    (same offset for every row) or ``[B]`` int32 (per-row offsets — the
+    engine's per-slot frontier; lowers to an in-place scatter on the
+    donated scan carry).
+    """
+    new = new.astype(buf.dtype)
+    values = buf.ndim == 5          # trailing head_dim axis after cap
+    tail = (0,) if values else ()
+    if getattr(write_pos, "ndim", 0) == 0:
+        start = (layer, 0, 0, write_pos) + tail
+        return jax.lax.dynamic_update_slice(buf, new[None], start)
+    row_buf = jax.lax.dynamic_index_in_dim(buf, layer, 0, keepdims=False)
+
+    def upd(row, val, pos):                 # row [H, cap(, D)], val [H, S(, D)]
+        return jax.lax.dynamic_update_slice(row, val, (0, pos) + tail)
+
+    row_buf = jax.vmap(upd)(row_buf, new, write_pos)
+    return jax.lax.dynamic_update_index_in_dim(buf, row_buf, layer, axis=0)
+
+
+def _fused_kv_attn_enabled(S: int) -> bool:
+    import os
+    if os.environ.get("BT_FUSED_KV_ATTN", "1") == "0":
+        return False
+    if S > 8:
+        return False
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
+
+
 def neox_stack(params, x, *, cfg: NeoXConfig, mask, positions,
-               cache: Optional[KVCache] = None, remat: bool = False
-               ) -> Tuple[jax.Array, Optional[KVCache]]:
+               cache: Optional[KVCache] = None, remat: bool = False,
+               write_pos=None) -> Tuple[jax.Array, Optional[KVCache]]:
     """Run the full stack over hidden states x [B, S, h].
 
+    ``write_pos``: cache write offset — defaults to ``cache.length``
+    (scalar); an ``[B]`` int32 vector writes each batch row at its own
+    offset (the serving engine's per-slot frontier).
     Returns (final-layer-normed hidden states, updated cache or None).
     """
     max_pos = cfg.max_position_embeddings
@@ -263,48 +323,38 @@ def neox_stack(params, x, *, cfg: NeoXConfig, mask, positions,
         max_pos = max(max_pos, cache.k.shape[3])
     cos, sin = rope_tables(cfg, max_pos)
 
+    if cache is not None and write_pos is None:
+        write_pos = cache.length
+
     if isinstance(cache, QuantKVCache):
         # INT8 cache: quantize the new K/V per position on write. On read,
         # decode-sized queries (S<=8) on TPU go through the fused Pallas
-        # int8-KV attention kernel (no bf16 cache materialization); larger
+        # int8-KV attention kernel over the full stacked cache (the cache
+        # is read once at int8 width — no bf16 materialization); larger
         # S / CPU falls back to dequant + the standard attention path.
-        def _on_tpu():
-            try:
-                return jax.devices()[0].platform == "tpu"
-            except Exception:
-                return False
+        use_fused = _fused_kv_attn_enabled(x.shape[1])
+        layers = params["layers"]
 
-        # EXPERIMENTAL, off by default: measured 5396 vs 11075 tok/s at 1.2B
-        # b256 — the per-(batch, head) grid with 8-row matmuls underutilizes
-        # the MXU vs XLA's generated attention. Needs head-batched tiles.
-        import os
-        use_fused = (x.shape[1] <= 8 and _on_tpu()
-                     and os.environ.get("BT_FUSED_KV_ATTN") == "1")
-
-        def body(carry, layer_in):
+        def body(carry, i):
             h, ck, cv, cks, cvs = carry
-            p, i = layer_in
+            p = layer_view(layers, i)
             q, k, v = layer_qkv(p, h, cfg=cfg, cos=cos, sin=sin,
                                 positions=positions)
             kq, ks = quantize_kv(k)
             vq, vs = quantize_kv(v)
-            ck = jax.lax.dynamic_update_slice(
-                ck, kq[None], (i, 0, 0, cache.length, 0))
-            cv = jax.lax.dynamic_update_slice(
-                cv, vq[None], (i, 0, 0, cache.length, 0))
-            cks = jax.lax.dynamic_update_slice(
-                cks, ks[None], (i, 0, 0, cache.length))
-            cvs = jax.lax.dynamic_update_slice(
-                cvs, vs[None], (i, 0, 0, cache.length))
-            kq_all = jax.lax.dynamic_index_in_dim(ck, i, 0, keepdims=False)
-            vq_all = jax.lax.dynamic_index_in_dim(cv, i, 0, keepdims=False)
-            ks_all = jax.lax.dynamic_index_in_dim(cks, i, 0, keepdims=False)
-            vs_all = jax.lax.dynamic_index_in_dim(cvs, i, 0, keepdims=False)
+            ck = _write_kv(ck, kq, i, write_pos)
+            cv = _write_kv(cv, vq, i, write_pos)
+            cks = _write_kv(cks, ks, i, write_pos)
+            cvs = _write_kv(cvs, vs, i, write_pos)
             if use_fused:
                 from block_transformer_tpu.ops import decode_attention
-                attn = decode_attention.decode_attention_int8(
-                    q, kq_all, ks_all, vq_all, vs_all, mask)
+                attn = decode_attention.decode_attention_int8_stacked(
+                    q, ck, cks, cv, cvs, i, mask)
             else:
+                kq_all = jax.lax.dynamic_index_in_dim(ck, i, 0, keepdims=False)
+                vq_all = jax.lax.dynamic_index_in_dim(cv, i, 0, keepdims=False)
+                ks_all = jax.lax.dynamic_index_in_dim(cks, i, 0, keepdims=False)
+                vs_all = jax.lax.dynamic_index_in_dim(cvs, i, 0, keepdims=False)
                 k_all = (kq_all.astype(jnp.float32)
                          * ks_all[..., None]).astype(q.dtype)
                 v_all = (vq_all.astype(jnp.float32)
@@ -317,35 +367,39 @@ def neox_stack(params, x, *, cfg: NeoXConfig, mask, positions,
             body = jax.checkpoint(body)
         idx = jnp.arange(cfg.num_layers, dtype=jnp.int32)
         (h, nk, nv, nks, nvs), _ = jax.lax.scan(
-            body, (x, cache.k, cache.v, cache.k_scale, cache.v_scale),
-            (params["layers"], idx))
+            body, (x, cache.k, cache.v, cache.k_scale, cache.v_scale), idx)
         new_cache = QuantKVCache(nk, nv, nks, nvs, cache.length + x.shape[1])
     elif cache is not None:
         # Cache is CARRIED through the layer scan and updated with one small
         # dynamic_update_slice per layer, so XLA keeps it in place (donated
         # carry) — the xs/ys formulation forced full input+output cache
         # copies (observed 4-5x cache footprint on TPU decode).
-        def body(carry, layer_in):
+        use_fused = _fused_kv_attn_enabled(x.shape[1])
+        layers = params["layers"]
+
+        def body(carry, i):
             h, ck, cv = carry
-            p, i = layer_in
+            p = layer_view(layers, i)
             q, k, v = layer_qkv(p, h, cfg=cfg, cos=cos, sin=sin,
                                 positions=positions)
-            ck = jax.lax.dynamic_update_slice(
-                ck, k.astype(ck.dtype)[None], (i, 0, 0, cache.length, 0))
-            cv = jax.lax.dynamic_update_slice(
-                cv, v.astype(cv.dtype)[None], (i, 0, 0, cache.length, 0))
-            k_all = jax.lax.dynamic_index_in_dim(ck, i, 0, keepdims=False)
-            v_all = jax.lax.dynamic_index_in_dim(cv, i, 0, keepdims=False)
-            attn = _attention(q, k_all.astype(q.dtype), v_all.astype(q.dtype),
-                              mask, cfg.attn_impl)
+            ck = _write_kv(ck, k, i, write_pos)
+            cv = _write_kv(cv, v, i, write_pos)
+            if use_fused:
+                from block_transformer_tpu.ops import decode_attention
+                attn = decode_attention.decode_attention_stacked(
+                    q, ck, cv, i, mask).astype(q.dtype)
+            else:
+                k_all = jax.lax.dynamic_index_in_dim(ck, i, 0, keepdims=False)
+                v_all = jax.lax.dynamic_index_in_dim(cv, i, 0, keepdims=False)
+                attn = _attention(q, k_all.astype(q.dtype),
+                                  v_all.astype(q.dtype), mask, cfg.attn_impl)
             h = layer_finish(p, h, attn, cfg=cfg)
             return (h, ck, cv), None
 
         if remat:
             body = jax.checkpoint(body)
         idx = jnp.arange(cfg.num_layers, dtype=jnp.int32)
-        (h, new_k, new_v), _ = jax.lax.scan(body, (x, cache.k, cache.v),
-                                            (params["layers"], idx))
+        (h, new_k, new_v), _ = jax.lax.scan(body, (x, cache.k, cache.v), idx)
         new_cache = KVCache(new_k, new_v, cache.length + x.shape[1])
     else:
         def body(h, p):

@@ -7,6 +7,19 @@ materializes a bf16 copy of each layer's K/V (write + re-read ≈ 3x the
 cache bytes); this kernel streams the int8 tiles into VMEM and widens them
 in-register instead — the cache is read once, at half the bf16 bytes.
 
+Round-2 design (vs the gated round-1 kernel):
+
+- **Stacked cache + scalar-prefetched layer index**: the kernel consumes
+  the full ``[L, B, H, cap, D]`` cache arrays with the layer selected in
+  the index map. A ``pallas_call`` whose operand is a per-layer
+  ``dynamic_index`` slice forces XLA to materialize that slice (hundreds
+  of MB per decode step at b256) — passing the stacked buffer by pointer
+  eliminates the copy that made the round-1 kernel 2x slower than XLA.
+- **Head-batched grid** (B, K tiles): all heads are processed inside one
+  grid step (statically unrolled), so DMA transfers are ~H x larger and
+  per-step grid overhead is amortized — the round-1 per-(batch, head)
+  grid starved the pipeline with tiny transfers.
+
 Online-softmax over KV tiles, mask from AttnMask index vectors (same
 convention as ops/flash_attention.py).
 """
@@ -25,130 +38,188 @@ from block_transformer_tpu.ops import masks as masks_lib
 _NEG = -1e30
 
 
-def _kernel(q_idx_ref, kv_idx_ref, kv_valid_ref, q_ref, k_ref, ks_ref,
-            v_ref, vs_ref, o_ref, acc_ref, m_ref, l_ref, *, scale):
-    ik = pl.program_id(2)
-
-    @pl.when(ik == 0)
-    def _():
-        acc_ref[:] = jnp.zeros_like(acc_ref)
-        m_ref[:] = jnp.full_like(m_ref, _NEG)
-        l_ref[:] = jnp.zeros_like(l_ref)
-
-    q = q_ref[0, 0]                               # [Sp, D] bf16
-    k_i8 = k_ref[0, 0]                            # [bk, D] int8
-    ks = ks_ref[0, 0, 0]                          # [bk] f32
-    # dequant fused: widen in-register, scale folded into the score
-    s = jax.lax.dot_general(q.astype(jnp.float32), k_i8.astype(jnp.float32),
-                            (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32)
-    s = s * (ks[None, :] * scale)
-
-    qi = q_idx_ref[0, 0]
-    ki = kv_idx_ref[0, 0]
-    ok = ki[None, :] <= qi[:, None]
-    ok = ok & (kv_valid_ref[0, 0][None, :] != 0)
-    s = jnp.where(ok, s, _NEG)
-
-    m_prev = m_ref[:]
-    m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
-    p = jnp.exp(s - m_new)                        # [Sp, bk]
-    corr = jnp.exp(m_prev - m_new)
-    l_ref[:] = l_ref[:] * corr + jnp.sum(p, axis=1, keepdims=True)
-    # V dequant fused into the PV matmul: (p * vs) @ v_i8
-    pv = p * vs_ref[0, 0, 0][None, :]
-    acc_ref[:] = acc_ref[:] * corr + jax.lax.dot(
-        pv, v_ref[0, 0].astype(jnp.float32),
-        preferred_element_type=jnp.float32)
-    m_ref[:] = m_new
-
-    @pl.when(ik == pl.num_programs(2) - 1)
-    def _():
-        o_ref[0, 0] = (acc_ref[:] / jnp.maximum(l_ref[:], 1e-30)
-                       ).astype(o_ref.dtype)
-
-
 def _cdiv(a, b):
     return -(-a // b)
 
 
-@functools.partial(jax.jit, static_argnames=("bk", "interpret"))
-def _decode_attn(q, k_q, k_s, v_q, v_s, q_idx, kv_idx, kv_valid, *,
-                 bk: int, interpret: bool):
+def _make_kernel(H: int, Sp: int, scale: float, quantized: bool):
+    def kernel(l_ref, q_idx_ref, kv_idx_ref, kv_valid_ref, q_ref, k_ref,
+               *rest):
+        if quantized:
+            ks_ref, v_ref, vs_ref, o_ref, acc_ref, m_ref, l_sum_ref = rest
+        else:
+            v_ref, o_ref, acc_ref, m_ref, l_sum_ref = rest
+        del l_ref
+        ik = pl.program_id(1)
+
+        @pl.when(ik == 0)
+        def _():
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+            m_ref[:] = jnp.full_like(m_ref, _NEG)
+            l_sum_ref[:] = jnp.zeros_like(l_sum_ref)
+
+        qi = q_idx_ref[0, 0]                          # [Sp]
+        ki = kv_idx_ref[0, 0]                         # [bk]
+        ok = (ki[None, :] <= qi[:, None]) & (kv_valid_ref[0, 0][None, :] != 0)
+
+        for h in range(H):                            # static unroll
+            q = q_ref[0, h]                           # [Sp, D]
+            k_h = k_ref[0, 0, h]                      # [bk, D] int8 / bf16
+            s = jax.lax.dot_general(
+                q.astype(jnp.float32), k_h.astype(jnp.float32),
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            if quantized:
+                s = s * (ks_ref[0, 0, h, 0][None, :] * scale)
+            else:
+                s = s * scale
+            s = jnp.where(ok, s, _NEG)
+
+            r = slice(h * Sp, (h + 1) * Sp)
+            m_prev = m_ref[r]
+            m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+            p = jnp.exp(s - m_new)                    # [Sp, bk]
+            corr = jnp.exp(m_prev - m_new)
+            l_sum_ref[r] = l_sum_ref[r] * corr + jnp.sum(p, axis=1,
+                                                         keepdims=True)
+            pv = p * vs_ref[0, 0, h, 0][None, :] if quantized else p
+            acc_ref[r] = acc_ref[r] * corr + jax.lax.dot(
+                pv, v_ref[0, 0, h].astype(jnp.float32),
+                preferred_element_type=jnp.float32)
+            m_ref[r] = m_new
+
+        @pl.when(ik == pl.num_programs(1) - 1)
+        def _():
+            for h in range(H):
+                r = slice(h * Sp, (h + 1) * Sp)
+                o_ref[0, h] = (acc_ref[r] / jnp.maximum(l_sum_ref[r], 1e-30)
+                               ).astype(o_ref.dtype)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("bk", "interpret", "quantized"))
+def _decode_attn(q, k_q, k_s, v_q, v_s, layer, q_idx, kv_idx, kv_valid, *,
+                 bk: int, interpret: bool, quantized: bool = True):
     B, H, S, D = q.shape
-    K = k_q.shape[2]
+    L, B2, H2, K, D2 = k_q.shape
+    assert (B, H, D) == (B2, H2, D2)
     scale = 1.0 / (D ** 0.5)
     Sp = max(8, _cdiv(S, 8) * 8)
     if Sp != S:
         q = jnp.pad(q, ((0, 0), (0, 0), (0, Sp - S), (0, 0)))
         q_idx = jnp.pad(q_idx, ((0, 0), (0, Sp - S)))
-    Kp = _cdiv(K, bk) * bk
-    if Kp != K:
-        k_q = jnp.pad(k_q, ((0, 0), (0, 0), (0, Kp - K), (0, 0)))
-        v_q = jnp.pad(v_q, ((0, 0), (0, 0), (0, Kp - K), (0, 0)))
-        k_s = jnp.pad(k_s, ((0, 0), (0, 0), (0, Kp - K)))
-        v_s = jnp.pad(v_s, ((0, 0), (0, 0), (0, Kp - K)))
-        kv_idx = jnp.pad(kv_idx, ((0, 0), (0, Kp - K)),
-                         constant_values=jnp.iinfo(jnp.int32).max)
-        kv_valid = jnp.pad(kv_valid, ((0, 0), (0, Kp - K)))
+    assert K % bk == 0, f"stacked cache capacity {K} must divide bk={bk}"
 
-    grid = (B, H, Kp // bk)
-    out = pl.pallas_call(
-        functools.partial(_kernel, scale=scale),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, 1, Sp), lambda b, h, ik: (b, 0, 0),
-                         memory_space=pltpu.VMEM),   # q_idx
-            pl.BlockSpec((1, 1, bk), lambda b, h, ik: (0, 0, ik),
-                         memory_space=pltpu.VMEM),   # kv_idx
-            pl.BlockSpec((1, 1, bk), lambda b, h, ik: (b, 0, ik),
-                         memory_space=pltpu.VMEM),   # kv_valid
-            pl.BlockSpec((1, 1, Sp, D), lambda b, h, ik: (b, h, 0, 0),
-                         memory_space=pltpu.VMEM),   # q
-            pl.BlockSpec((1, 1, bk, D), lambda b, h, ik: (b, h, ik, 0),
-                         memory_space=pltpu.VMEM),   # k int8
-            pl.BlockSpec((1, 1, 1, bk), lambda b, h, ik: (b, h, 0, ik),
-                         memory_space=pltpu.VMEM),   # k scale
-            pl.BlockSpec((1, 1, bk, D), lambda b, h, ik: (b, h, ik, 0),
-                         memory_space=pltpu.VMEM),   # v int8
-            pl.BlockSpec((1, 1, 1, bk), lambda b, h, ik: (b, h, 0, ik),
-                         memory_space=pltpu.VMEM),   # v scale
-        ],
-        out_specs=pl.BlockSpec((1, 1, Sp, D), lambda b, h, ik: (b, h, 0, 0),
+    kv_spec = pl.BlockSpec((1, 1, H, bk, D),
+                           lambda b, ik, l: (l[0], b, 0, ik, 0),
+                           memory_space=pltpu.VMEM)
+    sc_spec = pl.BlockSpec((1, 1, H, 1, bk),
+                           lambda b, ik, l: (l[0], b, 0, 0, ik),
+                           memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec((1, 1, Sp), lambda b, ik, l: (b, 0, 0),
+                     memory_space=pltpu.VMEM),           # q_idx
+        pl.BlockSpec((1, 1, bk), lambda b, ik, l: (0, 0, ik),
+                     memory_space=pltpu.VMEM),           # kv_idx
+        pl.BlockSpec((1, 1, bk), lambda b, ik, l: (b, 0, ik),
+                     memory_space=pltpu.VMEM),           # kv_valid
+        pl.BlockSpec((1, H, Sp, D), lambda b, ik, l: (b, 0, 0, 0),
+                     memory_space=pltpu.VMEM),           # q
+        kv_spec,                                         # k
+    ]
+    args = [jnp.asarray(layer, jnp.int32).reshape(1),
+            q_idx[:, None, :], kv_idx[None, None, :], kv_valid[:, None, :],
+            q, k_q]
+    if quantized:
+        in_specs += [sc_spec, kv_spec, sc_spec]
+        args += [k_s[:, :, :, None, :], v_q, v_s[:, :, :, None, :]]
+    else:
+        in_specs += [kv_spec]
+        args += [v_q]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, K // bk),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, H, Sp, D), lambda b, ik, l: (b, 0, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, H, Sp, D), q.dtype),
         scratch_shapes=[
-            pltpu.VMEM((Sp, D), jnp.float32),
-            pltpu.VMEM((Sp, 1), jnp.float32),
-            pltpu.VMEM((Sp, 1), jnp.float32),
+            pltpu.VMEM((H * Sp, D), jnp.float32),
+            pltpu.VMEM((H * Sp, 1), jnp.float32),
+            pltpu.VMEM((H * Sp, 1), jnp.float32),
         ],
+    )
+    itemsize = 1 if quantized else k_q.dtype.itemsize
+    out = pl.pallas_call(
+        _make_kernel(H, Sp, scale, quantized),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, H, Sp, D), q.dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary")),
+            dimension_semantics=("parallel", "arbitrary")),
         cost_estimate=pl.CostEstimate(
-            flops=4 * B * H * Sp * Kp * D,
-            bytes_accessed=B * H * Kp * D * 2 + B * H * Sp * D * 4,
-            transcendentals=B * H * Sp * Kp),
+            flops=4 * B * H * Sp * K * D,
+            bytes_accessed=B * H * K * (2 * D * itemsize + 8)
+            + B * H * Sp * D * 4,
+            transcendentals=B * H * Sp * K),
         interpret=interpret,
-    )(q_idx[:, None, :], kv_idx[:, None, :], kv_valid[:, None, :],
-      q, k_q, k_s[:, :, None, :], v_q, v_s[:, :, None, :])
+    )(*args)
     return out[:, :, :S, :]
+
+
+def _prep(q, K, mask, bk):
+    B, H, S, D = q.shape
+    q_idx = mask.q_idx
+    if q_idx.ndim == 1:
+        q_idx = jnp.broadcast_to(q_idx[None], (B, S))
+    kv_valid = mask.kv_valid
+    if kv_valid is None:
+        kv_valid = jnp.ones((B, K), jnp.int32)
+    # largest lane-aligned K-tile <= bk that divides the capacity (cache
+    # creators round capacity to a multiple of 128, so one always exists)
+    if K % 128 == 0:
+        bk = next(c for c in (min(bk, K), 512, 384, 256, 128)
+                  if c <= bk and K % c == 0)
+    else:
+        bk = K  # unaligned capacity: single tile (tests / tiny shapes)
+    return (q_idx.astype(jnp.int32), mask.kv_idx.astype(jnp.int32),
+            kv_valid.astype(jnp.int32), bk)
+
+
+def decode_attention_int8_stacked(q, k_q, k_s, v_q, v_s, layer,
+                                  mask: masks_lib.AttnMask, *,
+                                  bk: int = 512, interpret: bool = False):
+    """Fused int8-KV decode attention over a stacked cache.
+
+    q [B, H, S, D] (S<=8); k_q/v_q int8 [L, B, H, cap, D]; k_s/v_s f32
+    [L, B, H, cap]; layer: traced scalar int32; mask: AttnMask at cache
+    granularity. -> [B, H, S, D] in q.dtype.
+    """
+    q_idx, kv_idx, kv_valid, bk = _prep(q, k_q.shape[3], mask, bk)
+    return _decode_attn(q, k_q, k_s.astype(jnp.float32), v_q,
+                        v_s.astype(jnp.float32), layer, q_idx, kv_idx,
+                        kv_valid, bk=bk, interpret=interpret, quantized=True)
+
+
+def decode_attention_stacked(q, k, v, layer, mask: masks_lib.AttnMask, *,
+                             bk: int = 512, interpret: bool = False):
+    """Unquantized (bf16/f32 KV) head-batched decode attention over a
+    stacked cache: same structure as the int8 form without scales — the
+    small-Q decode counterpart of ops/flash_attention.py (whose
+    per-(batch, head) grid needs Q>=64 tiles to pipeline well).
+
+    q [B, H, S, D] (S<=8); k/v [L, B, H, cap, D]; layer scalar int32.
+    """
+    q_idx, kv_idx, kv_valid, bk = _prep(q, k.shape[3], mask, bk)
+    return _decode_attn(q, k, None, v, None, layer, q_idx, kv_idx,
+                        kv_valid, bk=bk, interpret=interpret,
+                        quantized=False)
 
 
 def decode_attention_int8(q, k_q, k_s, v_q, v_s, mask: masks_lib.AttnMask,
                           *, bk: int = 512, interpret: bool = False):
-    """q [B, H, S, D] (S<=8); k_q/v_q int8 [B, H, K, D]; k_s/v_s f32
-    [B, H, K]; mask: AttnMask. -> [B, H, S, D] in q.dtype."""
-    B, H, S, D = q.shape
-    K = k_q.shape[2]
-    q_idx = mask.q_idx
-    if q_idx.ndim == 1:
-        q_idx = jnp.broadcast_to(q_idx[None], (B, S))
-    kv_idx = mask.kv_idx[None]
-    kv_valid = mask.kv_valid
-    if kv_valid is None:
-        kv_valid = jnp.ones((B, K), jnp.int32)
-    bk = min(bk, max(128, _cdiv(K, 128) * 128))
-    return _decode_attn(q, k_q, k_s.astype(jnp.float32), v_q,
-                        v_s.astype(jnp.float32), q_idx.astype(jnp.int32),
-                        kv_idx.astype(jnp.int32), kv_valid.astype(jnp.int32),
-                        bk=bk, interpret=interpret)
+    """Single-layer form (kept for tests/microbench): wraps the stacked
+    kernel with L=1. q [B,H,S,D]; k_q/v_q int8 [B,H,K,D]; k_s/v_s [B,H,K]."""
+    return decode_attention_int8_stacked(
+        q, k_q[None], k_s[None], v_q[None], v_s[None], 0, mask, bk=bk,
+        interpret=interpret)

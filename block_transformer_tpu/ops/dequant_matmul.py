@@ -1,13 +1,31 @@
-"""Pallas TPU kernel: fused INT8 weight dequant + matmul.
+"""Pallas TPU kernels: fused INT8 / INT4 weight dequant + matmul.
 
-``out[M, N] = (x[M, K] @ w_q[K, N].astype(bf16)) * scale[N]``
+``out[M, N] = (x[M, K] @ dequant(w_q)[K, N]) * scale[N]``
 
-The dequant never materializes in HBM: int8 weight tiles stream into VMEM
-(half the bytes of bf16 — weight-loading is the decode bottleneck), are
-widened in-register, hit the MXU, and the per-channel scale is applied once
-to the fp32 accumulator on the final K step. This is the TPU-native
-replacement for the reference's cuBLAS matmuls (SURVEY.md §2.9) at the
-BASELINE.json operating point (INT8 weights at speed-of-light).
+The dequant never materializes in HBM: quantized weight tiles stream into
+VMEM (half / quarter the bytes of bf16 — weight loading is the decode
+bottleneck), are widened in-register, hit the MXU, and the per-channel
+scale is applied once to the fp32 accumulator on the final K step. This is
+the TPU-native replacement for the reference's cuBLAS matmuls
+(SURVEY.md §2.9) at the BASELINE.json operating point.
+
+Two call forms per precision:
+
+- ``int{8,4}_matmul(x, w_q, scale)`` — single weight matrix.
+- ``int{8,4}_matmul_stacked(x, w_q, scale, layer)`` — **stacked** form for
+  layer-scanned stacks: ``w_q`` is the whole ``[L, K, N]`` parameter array
+  and ``layer`` a traced scalar. The layer is selected *inside the kernel's
+  index map* via scalar prefetch, so XLA passes the full stacked buffer by
+  pointer — no per-layer slice of the weights is ever materialized. (A
+  ``pallas_call`` operand that is itself a ``dynamic_slice`` forces XLA to
+  materialize the slice — for a 1.2B decode step that copy was ~50 MB per
+  layer and made the round-1 kernel 2x slower than XLA's fused
+  convert+dot. The stacked form is why the kernels can win.)
+
+INT4 uses split-half packing (ops/quant.py): byte-plane row ``i`` holds
+original rows ``i`` (low nibble) and ``i + K/2`` (high nibble), so the
+kernel computes ``x_lo @ sext(w << 28 >> 28) + x_hi @ sext(w << 24 >> 28)``
+with two disjoint K-slices of x — no sublane interleave anywhere.
 
 Grid is (M/bm, N/bn, K/bk) with K innermost; an fp32 VMEM scratch
 accumulates across K steps (revisited output pattern).
@@ -31,29 +49,36 @@ def _round_up(x, m):
     return _cdiv(x, m) * m
 
 
-def _kernel(x_ref, w_ref, scale_ref, o_ref, acc_ref):
+# ---------------------------------------------------------------------------
+# INT8
+# ---------------------------------------------------------------------------
+
+def _int8_kernel(l_ref, x_ref, w_ref, scale_ref, o_ref, acc_ref):
+    del l_ref                      # consumed by the index maps
     k = pl.program_id(2)
 
     @pl.when(k == 0)
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    acc_ref[:] += jnp.dot(x_ref[:], w_ref[:].astype(x_ref.dtype),
+    acc_ref[:] += jnp.dot(x_ref[:], w_ref[0].astype(x_ref.dtype),
                           preferred_element_type=jnp.float32)
 
     @pl.when(k == pl.num_programs(2) - 1)
     def _():
-        o_ref[:] = (acc_ref[:] * scale_ref[:].astype(jnp.float32)
+        o_ref[:] = (acc_ref[:] * scale_ref[0].astype(jnp.float32)
                     ).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("bm", "bn", "bk", "interpret"))
-def int8_matmul(x, w_q, scale, *, bm: int = 256, bn: int = 256, bk: int = 512,
-                interpret: bool = False):
-    """x [M, K] (bf16/fp32); w_q [K, N] int8; scale [N] fp32 -> [M, N]."""
+@functools.partial(jax.jit,
+                   static_argnames=("bm", "bn", "bk", "interpret"))
+def int8_matmul_stacked(x, w_q, scale, layer, *, bm: int = 256,
+                        bn: int = 512, bk: int = 512,
+                        interpret: bool = False):
+    """x [M, K]; w_q int8 [L, K, N]; scale f32 [L, N]; layer scalar int32."""
     M, K = x.shape
-    K2, N = w_q.shape
-    assert K == K2 and scale.shape == (N,)
+    L, K2, N = w_q.shape
+    assert K == K2 and scale.shape == (L, N), (x.shape, w_q.shape, scale.shape)
 
     bm = min(bm, _round_up(M, 8))
     bn = min(bn, _round_up(N, 128))
@@ -61,27 +86,29 @@ def int8_matmul(x, w_q, scale, *, bm: int = 256, bn: int = 256, bk: int = 512,
     Mp, Np, Kp = _round_up(M, bm), _round_up(N, bn), _round_up(K, bk)
     if (Mp, Kp) != (M, K):
         x = jnp.pad(x, ((0, Mp - M), (0, Kp - K)))
-    if (Kp, Np) != (K, N):
-        w_q = jnp.pad(w_q, ((0, Kp - K), (0, Np - N)))
-    if Np != N:
-        scale = jnp.pad(scale, (0, Np - N))
+    assert (Kp, Np) == (K, N), \
+        f"stacked weights must be padded offline: K{K}->{Kp} N{N}->{Np}"
 
     grid = (Mp // bm, Np // bn, Kp // bk)
-    out = pl.pallas_call(
-        _kernel,
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((bm, bk), lambda i, j, k: (i, k),
+            pl.BlockSpec((bm, bk), lambda i, j, k, l: (i, k),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((bk, bn), lambda i, j, k: (k, j),
+            pl.BlockSpec((1, bk, bn), lambda i, j, k, l: (l[0], k, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bn), lambda i, j, k: (0, j),
+            pl.BlockSpec((1, 1, bn), lambda i, j, k, l: (l[0], 0, j),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((bm, bn), lambda i, j, k: (i, j),
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, k, l: (i, j),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((Mp, Np), x.dtype),
         scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+    )
+    out = pl.pallas_call(
+        _int8_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((Mp, Np), x.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary")),
         cost_estimate=pl.CostEstimate(
@@ -89,5 +116,127 @@ def int8_matmul(x, w_q, scale, *, bm: int = 256, bn: int = 256, bk: int = 512,
             bytes_accessed=Mp * Kp * x.dtype.itemsize + Kp * Np + Mp * Np * 2,
             transcendentals=0),
         interpret=interpret,
-    )(x, w_q, scale.reshape(1, -1))
+    )(jnp.asarray(layer, jnp.int32).reshape(1),
+      x, w_q, scale.reshape(L, 1, N))
     return out[:M, :N]
+
+
+def int8_matmul(x, w_q, scale, *, bm: int = 256, bn: int = 512,
+                bk: int = 512, interpret: bool = False):
+    """x [M, K] (bf16/fp32); w_q [K, N] int8; scale [N] fp32 -> [M, N]."""
+    K, N = w_q.shape
+    # pad to lane/tile multiples for the stacked form's no-pad requirement
+    Kp, Np = _round_up(K, 128), _round_up(N, 128)
+    if (Kp, Np) != (K, N):
+        w_q = jnp.pad(w_q, ((0, Kp - K), (0, Np - N)))
+        scale = jnp.pad(scale, (0, Np - N))
+        x = jnp.pad(x, ((0, 0), (0, Kp - K)))
+    out = int8_matmul_stacked(x, w_q[None], scale[None], 0, bm=bm, bn=bn,
+                              bk=bk, interpret=interpret)
+    return out[:, :N]
+
+
+# ---------------------------------------------------------------------------
+# INT4 (split-half packed)
+# ---------------------------------------------------------------------------
+
+def _int4_kernel(l_ref, x_lo_ref, x_hi_ref, w_ref, scale_ref, o_ref, acc_ref):
+    del l_ref                      # consumed by the index maps
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    u = w_ref[0].astype(jnp.int32)
+    w_lo = ((u << 28) >> 28).astype(x_lo_ref.dtype)   # rows [0, K/2)
+    w_hi = ((u << 24) >> 28).astype(x_lo_ref.dtype)   # rows [K/2, K)
+    acc_ref[:] += jnp.dot(x_lo_ref[:], w_lo,
+                          preferred_element_type=jnp.float32)
+    acc_ref[:] += jnp.dot(x_hi_ref[:], w_hi,
+                          preferred_element_type=jnp.float32)
+
+    @pl.when(k == pl.num_programs(2) - 1)
+    def _():
+        o_ref[:] = (acc_ref[:] * scale_ref[0].astype(jnp.float32)
+                    ).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("bm", "bn", "bk", "interpret"))
+def int4_matmul_stacked(x, w_p, scale, layer, *, bm: int = 256,
+                        bn: int = 512, bk: int = 512,
+                        interpret: bool = False):
+    """x [M, K]; w_p int8 [L, K/2, N] split-half packed; scale f32 [L, N].
+
+    ``bk`` is the *packed-row* tile (covers 2*bk unpacked K rows).
+    """
+    M, K = x.shape
+    L, Kh, N = w_p.shape
+    assert K == 2 * Kh and scale.shape == (L, N)
+
+    bm = min(bm, _round_up(M, 8))
+    bn = min(bn, _round_up(N, 128))
+    bk = min(bk, _round_up(Kh, 128))
+    Mp, Np, Khp = _round_up(M, bm), _round_up(N, bn), _round_up(Kh, bk)
+    if Mp != M:
+        x = jnp.pad(x, ((0, Mp - M), (0, 0)))
+    assert Khp == Kh and Np == N, \
+        f"stacked packed weights must be tile-aligned: K/2 {Kh}->{Khp} N {N}->{Np}"
+
+    nkb = Khp // bk
+    grid = (Mp // bm, Np // bn, nkb)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            # low-nibble rows of x: columns [0, K/2)
+            pl.BlockSpec((bm, bk), lambda i, j, k, l: (i, k),
+                         memory_space=pltpu.VMEM),
+            # high-nibble rows of x: columns [K/2, K) — same array, block
+            # index offset by the number of packed-K blocks
+            pl.BlockSpec((bm, bk),
+                         lambda i, j, k, l, _nkb=nkb: (i, k + _nkb),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, bn), lambda i, j, k, l: (l[0], k, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bn), lambda i, j, k, l: (l[0], 0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, k, l: (i, j),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+    )
+    out = pl.pallas_call(
+        _int4_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((Mp, N), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Mp * N * K,
+            bytes_accessed=Mp * K * x.dtype.itemsize + Kh * N + Mp * N * 2,
+            transcendentals=0),
+        interpret=interpret,
+    )(jnp.asarray(layer, jnp.int32).reshape(1), x, x, w_p,
+      scale.reshape(L, 1, N))
+    return out[:M]
+
+
+def int4_matmul(x, w_p, scale, *, bm: int = 256, bn: int = 512,
+                bk: int = 512, interpret: bool = False):
+    """x [M, K]; w_p [K/2, N] int8 split-half packed; scale [N] f32."""
+    Kh, N = w_p.shape
+    Khp, Np = _round_up(Kh, 128), _round_up(N, 128)
+    if (Khp, Np) != (Kh, N):
+        # padding packed rows appends zero rows to BOTH nibble planes, i.e.
+        # zero weight rows at [Kh, Khp) and [K/2 + Kh, ...): pad x columns
+        # to match the padded split-half layout
+        w_p = jnp.pad(w_p, ((0, Khp - Kh), (0, Np - N)))
+        scale = jnp.pad(scale, (0, Np - N))
+        x_lo, x_hi = x[:, :Kh], x[:, Kh:]
+        pad = jnp.zeros((x.shape[0], Khp - Kh), x.dtype)
+        x = jnp.concatenate([x_lo, pad, x_hi, pad], axis=1)
+    out = int4_matmul_stacked(x, w_p[None], scale[None], 0, bm=bm, bn=bn,
+                              bk=bk, interpret=interpret)
+    return out[:, :N]

@@ -70,9 +70,13 @@ def _cdiv(a, b):
 
 
 def supported(q, k) -> bool:
+    """Shapes this kernel pipelines well on. Small-Q decode steps should
+    use the head-batched kernels in ops/decode_attention.py instead (this
+    grid is per-(batch, head); at Q<8 its tiles cannot fill the pipeline),
+    so the structured-mask Pallas path covers every regime between them."""
     B, H, Q, D = q.shape
     K = k.shape[2]
-    return Q >= 64 and K >= 128 and D <= 128
+    return Q >= 8 and K >= 128 and D <= 128
 
 
 @functools.partial(jax.jit, static_argnames=("bq", "bk", "interpret"))
@@ -149,7 +153,7 @@ def flash_attention(q, k, v, mask: masks_lib.AttnMask, *, bq: int = 128,
     kv_valid = mask.kv_valid
     if kv_valid is None:
         kv_valid = jnp.ones((B, K), jnp.int32)
-    bq = min(bq, max(64, Q))
+    bq = min(bq, max(8, _cdiv(Q, 8) * 8))
     bk = min(bk, max(128, K))
     return _flash(q, k, v, q_idx.astype(jnp.int32), kv_idx.astype(jnp.int32),
                   kv_valid.astype(jnp.int32), bq=bq, bk=bk,

@@ -5,14 +5,34 @@ a pure parameter-tree transformation (ops/quant.quantize_model_params) —
 model code never branches on precision. On TPU the quantized paths call the
 fused Pallas dequant-matmul (ops/dequant_matmul.py); elsewhere (CPU tests)
 they fall back to an XLA dequant+dot that is numerically identical.
+
+Layer-scanned stacks use the **stacked view**: ``StackedLinear(node,
+layer)`` wraps the whole ``[L, ...]`` parameter node plus a traced layer
+index, and the Pallas kernels select the layer inside their index maps
+(scalar prefetch) so no per-layer weight slice is ever materialized in HBM
+— the fix that takes the fused kernels from 2x-slower to faster than
+XLA's convert+dot on the decode path (see ops/dequant_matmul.py).
+
+Env switches (measured defaults; see scripts/kernel_microbench.py):
+  BT_PALLAS_INT8=0   disable the Pallas int8 kernel (XLA convert+dot)
+  BT_PALLAS_INT4=0   disable the Pallas int4 kernel (XLA dequant+dot)
 """
 
 from __future__ import annotations
+
+import os
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 
 from block_transformer_tpu.ops import quant
+
+
+class StackedLinear(NamedTuple):
+    """View of one layer inside a stacked ``[L, ...]`` linear param node."""
+    node: dict
+    layer: jax.Array
 
 
 def _on_tpu() -> bool:
@@ -22,15 +42,31 @@ def _on_tpu() -> bool:
         return False
 
 
-def apply_linear(x: jax.Array, p: dict, use_pallas: bool = None) -> jax.Array:
-    """x [..., K] @ params -> [..., N] (+ bias if present)."""
+def _use_pallas(kind: str) -> bool:
+    if not _on_tpu():
+        return False
+    return os.environ.get(f"BT_PALLAS_{kind}", "1") != "0"
+
+
+def _slice(a, i):
+    return jax.lax.dynamic_index_in_dim(a, i, 0, keepdims=False)
+
+
+def apply_linear(x: jax.Array, p, use_pallas: bool = None) -> jax.Array:
+    """x [..., K] @ params -> [..., N] (+ bias if present).
+
+    ``p`` is a linear param dict ({"kernel"| "kernel_q8"| "kernel_q4",
+    "scale"?, "bias"?}) or a ``StackedLinear`` view of one layer in a
+    stacked node.
+    """
+    if isinstance(p, StackedLinear):
+        return _apply_stacked(x, p.node, p.layer, use_pallas)
     if "kernel" in p:
         out = jnp.dot(x, p["kernel"], preferred_element_type=x.dtype)
     elif "kernel_q8" in p:
         out = _int8_matmul(x, p["kernel_q8"], p["scale"], use_pallas)
     elif "kernel_q4" in p:
-        w = quant.dequantize_int4(p["kernel_q4"], p["scale"], x.dtype)
-        out = jnp.dot(x, w, preferred_element_type=x.dtype)
+        out = _int4_matmul(x, p["kernel_q4"], p["scale"], use_pallas)
     else:
         raise KeyError(f"no kernel in linear params: {list(p)}")
     if "bias" in p:
@@ -38,21 +74,73 @@ def apply_linear(x: jax.Array, p: dict, use_pallas: bool = None) -> jax.Array:
     return out
 
 
-def _int8_matmul(x, w_q, scale, use_pallas):
-    if use_pallas is None:
-        # default to XLA's convert+dot: the current Pallas tiling measured
-        # slower end-to-end on v5e (RESULTS.md); opt back in per-call or via
-        # BT_PALLAS_INT8=1 once the kernel is head/row-batched
-        import os
-        use_pallas = _on_tpu() and os.environ.get("BT_PALLAS_INT8") == "1"
+def _flat(x):
+    return x.reshape(-1, x.shape[-1]), x.shape[:-1]
+
+
+def _apply_stacked(x, node, layer, use_pallas):
     lead = x.shape[:-1]
-    K = x.shape[-1]
-    N = w_q.shape[-1]
-    x2 = x.reshape(-1, K)
+    x2 = x.reshape(-1, x.shape[-1])
+    if "kernel" in node:
+        w = _slice(node["kernel"], layer)     # XLA fuses the slice into dot
+        out = jnp.dot(x2, w, preferred_element_type=x.dtype)
+    elif "kernel_q8" in node:
+        _, K, N = node["kernel_q8"].shape
+        ok = use_pallas if use_pallas is not None else (
+            _use_pallas("INT8") and K % 128 == 0 and N % 128 == 0)
+        if ok:
+            from block_transformer_tpu.ops import dequant_matmul
+            out = dequant_matmul.int8_matmul_stacked(
+                x2, node["kernel_q8"], node["scale"], layer)
+        else:
+            w = _slice(node["kernel_q8"], layer)
+            s = _slice(node["scale"], layer)
+            out = (jnp.dot(x2, w.astype(x.dtype),
+                           preferred_element_type=jnp.float32)
+                   * s).astype(x.dtype)
+    elif "kernel_q4" in node:
+        _, Kh, N = node["kernel_q4"].shape
+        ok = use_pallas if use_pallas is not None else (
+            _use_pallas("INT4") and Kh % 128 == 0 and N % 128 == 0)
+        if ok:
+            from block_transformer_tpu.ops import dequant_matmul
+            out = dequant_matmul.int4_matmul_stacked(
+                x2, node["kernel_q4"], node["scale"], layer)
+        else:
+            w = quant.dequantize_int4(_slice(node["kernel_q4"], layer),
+                                      _slice(node["scale"], layer), x.dtype)
+            out = jnp.dot(x2, w, preferred_element_type=x.dtype)
+    else:
+        raise KeyError(f"no kernel in stacked linear params: {list(node)}")
+    if "bias" in node:
+        out = out + _slice(node["bias"], layer).astype(out.dtype)
+    return out.reshape(lead + (out.shape[-1],))
+
+
+def _int8_matmul(x, w_q, scale, use_pallas):
+    K, N = w_q.shape
+    if use_pallas is None:
+        use_pallas = _use_pallas("INT8") and K % 128 == 0 and N % 128 == 0
+    x2, lead = _flat(x)
     if use_pallas:
         from block_transformer_tpu.ops import dequant_matmul
         out = dequant_matmul.int8_matmul(x2, w_q, scale)
     else:
-        out = (jnp.dot(x2, w_q.astype(x.dtype), preferred_element_type=jnp.float32)
+        out = (jnp.dot(x2, w_q.astype(x.dtype),
+                       preferred_element_type=jnp.float32)
                * scale).astype(x.dtype)
+    return out.reshape(lead + (N,))
+
+
+def _int4_matmul(x, w_p, scale, use_pallas):
+    Kh, N = w_p.shape
+    if use_pallas is None:
+        use_pallas = _use_pallas("INT4") and Kh % 128 == 0 and N % 128 == 0
+    x2, lead = _flat(x)
+    if use_pallas:
+        from block_transformer_tpu.ops import dequant_matmul
+        out = dequant_matmul.int4_matmul(x2, w_p, scale)
+    else:
+        w = quant.dequantize_int4(w_p, scale, x.dtype)
+        out = jnp.dot(x2, w, preferred_element_type=x.dtype)
     return out.reshape(lead + (N,))

@@ -32,32 +32,30 @@ def dequantize_int8(w_q, scale, dtype=jnp.bfloat16):
 def quantize_int4(w: jax.Array):
     """w [K, N] float -> (packed int8 [K/2, N], scale fp32 [N]).
 
-    Values in [-7, 7]; byte = (hi << 4) | (lo & 0xF) where lo = row 2k,
-    hi = row 2k+1 (K-axis packing).
+    Values in [-7, 7]; **split-half packing**: byte row ``i`` holds
+    ``lo = row i`` (low nibble) and ``hi = row i + K/2`` (high nibble).
+    The two nibble planes are therefore *contiguous disjoint row ranges*
+    of the original weight, so the fused kernel unpacks with two shifts
+    and needs no sublane interleave — the matmul splits into
+    ``x[:, :K/2] @ lo + x[:, K/2:] @ hi`` (ops/dequant_matmul.py).
     """
     K = w.shape[0]
     assert K % 2 == 0, "int4 packing requires even K"
     a = jnp.max(jnp.abs(w.astype(jnp.float32)), axis=0)
     scale = jnp.maximum(a, 1e-8) / 7.0
     q = jnp.clip(jnp.round(w.astype(jnp.float32) / scale), -7, 7).astype(jnp.int8)
-    lo = q[0::2].astype(jnp.uint8) & 0xF
-    hi = (q[1::2].astype(jnp.uint8) & 0xF) << 4
+    half = K // 2
+    lo = q[:half].astype(jnp.uint8) & 0xF
+    hi = (q[half:].astype(jnp.uint8) & 0xF) << 4
     return (lo | hi).astype(jnp.int8), scale.astype(jnp.float32)
 
 
 def unpack_int4(packed, dtype=jnp.int8):
-    """packed [K/2, N] -> int values [K, N] in [-7, 7]."""
-    u = packed.astype(jnp.uint8)
-    lo = (u & 0xF).astype(jnp.int8)
-    hi = ((u >> 4) & 0xF).astype(jnp.int8)
-    # sign-extend 4-bit two's complement
-    lo = jnp.where(lo >= 8, lo - 16, lo)
-    hi = jnp.where(hi >= 8, hi - 16, hi)
-    K2, N = packed.shape
-    out = jnp.zeros((K2 * 2, N), jnp.int8)
-    out = out.at[0::2].set(lo)
-    out = out.at[1::2].set(hi)
-    return out.astype(dtype)
+    """packed [K/2, N] -> int values [K, N] in [-7, 7] (split-half layout)."""
+    u = packed.astype(jnp.int32)
+    lo = (u << 28) >> 28          # sign-extend low nibble
+    hi = (u << 24) >> 28          # sign-extend high nibble
+    return jnp.concatenate([lo, hi], axis=0).astype(dtype)
 
 
 def dequantize_int4(packed, scale, dtype=jnp.bfloat16):

@@ -31,8 +31,9 @@ def test_int4_roundtrip():
 def test_int4_unpack_exact():
     rng = np.random.default_rng(2)
     q = rng.integers(-7, 8, size=(16, 8)).astype(np.int8)
-    lo = q[0::2].astype(np.uint8) & 0xF
-    hi = (q[1::2].astype(np.uint8) & 0xF) << 4
+    # split-half packing: byte row i = (row i, row i + K/2)
+    lo = q[:8].astype(np.uint8) & 0xF
+    hi = (q[8:].astype(np.uint8) & 0xF) << 4
     packed = jnp.asarray((lo | hi).astype(np.int8))
     np.testing.assert_array_equal(np.asarray(quant.unpack_int4(packed)), q)
 
