@@ -11,15 +11,31 @@ other slots' caches persist — the two-level cache makes this cheap (the
 global cache holds ONE vector per block, so even a 2048-token prompt is a
 512-position prefill).
 
-All device work happens in two jitted functions (per padded prompt-length
-bucket): ``_prefill_slot`` and ``_decode_step``; the scheduler is host-side
-Python, matching the design where XLA owns the math and the runtime owns
-admission/eviction.
+Round-2 design:
+
+- The decode step runs the **same carried-cache stack as static-batch
+  generation** (models/neox.neox_stack) with a per-slot ``write_pos``
+  vector — each slot's K/V append scatters at its own frontier, in place
+  on the donated scan carry. (The round-1 engine's xs/ys scan + full
+  ``jnp.where`` copies were the exact formulation RESULTS.md measured at
+  4-5x cache HBM.)
+- ``kv_cache="int8"`` serves from the hierarchical INT8 ``QuantKVCache``
+  (the BASELINE.json north star) through the fused Pallas decode-attention
+  kernel; ``"bf16"`` uses the plain cache.
+- **Prompt-length bucketing**: admission pads the prompt to the next
+  ``bucket_blocks`` multiple, so the prefill jit compiles once per bucket
+  instead of once per novel prompt length (compiles are minutes on this
+  platform).
+- Full sampling surface (greedy / temperature / top-k / top-p) threads to
+  the shared ``decode_block_tokens``.
+
+All device work happens in two jitted functions; the scheduler is
+host-side Python, matching the design where XLA owns the math and the
+runtime owns admission/eviction.
 """
 
 from __future__ import annotations
 
-import functools
 from dataclasses import dataclass, field
 from typing import Callable, Dict, List, Optional
 
@@ -53,16 +69,25 @@ class EngineStats:
     prompts_finished: int = 0
 
 
+def _round_up(x, m):
+    return -(-x // m) * m
+
+
 class ContinuousBatchingEngine:
     def __init__(self, params, cfg: BlockTransformerConfig, *, n_slots: int = 8,
                  max_blocks: int = 512, greedy: bool = True,
-                 temperature: float = 1.0, seed: int = 0):
+                 temperature: float = 1.0, top_k: int = 0, top_p: float = 1.0,
+                 kv_cache: str = "bf16", bucket_blocks: int = 64,
+                 seed: int = 0):
         self.params = params
         self.cfg = cfg
         self.n_slots = n_slots
         self.max_blocks = max_blocks
         self.greedy = greedy
         self.temperature = temperature
+        self.top_k = top_k
+        self.top_p = top_p
+        self.bucket_blocks = max(1, bucket_blocks)
         n = cfg.n_embedding_tokens
         ph = cfg.embedder.projection_hidden_size
         # activation dtype: follow a (never-quantized) embedder table — the
@@ -72,11 +97,15 @@ class ContinuousBatchingEngine:
         table = (e.get("embeddings") or e.get("roberta", {}).get("word_embeddings")
                  or e.get("t5", {}).get("embed"))
         dtype = table["weight"].dtype
+        # lane-aligned capacity so the fused kernels tile cleanly
         cap = max_blocks * n
+        self.cap = cap = _round_up(cap, 128) if cap >= 128 else cap
 
         # persistent device state (global cache + per-slot bookkeeping)
-        self.cache = neox.KVCache.create(cfg.block_decoder, n_slots, cap,
-                                         dtype=dtype)
+        self.cache_cls = (neox.QuantKVCache if kv_cache == "int8"
+                          else neox.KVCache)
+        self.cache = self.cache_cls.create(cfg.block_decoder, n_slots, cap,
+                                           dtype=dtype)
         # per-slot cache write positions differ -> carry per-slot lengths and
         # use position-indexed masks
         self.slot_len = jnp.zeros((n_slots,), jnp.int32)     # blocks used
@@ -91,7 +120,7 @@ class ContinuousBatchingEngine:
         self.stats = EngineStats()
         self._uid = 0
 
-        self._prefill = self._make_prefill()   # jax.jit retraces per shape
+        self._prefill = self._make_prefill()   # retraces once per bucket
         self._decode = self._make_decode()
 
     # ------------------------------------------------------------------
@@ -109,19 +138,22 @@ class ContinuousBatchingEngine:
     def _make_prefill(self):
         cfg = self.cfg
         n = cfg.n_embedding_tokens
-        cap = self.max_blocks * n
+        cap = self.cap
 
         @jax.jit
-        def prefill(params, cache, kv_valid, next_embeds, slot, ids, att, bam):
+        def prefill(params, cache, kv_valid, next_embeds, slot, true_len,
+                    ids, att, bam):
             """Reset one slot and prefill its cache region.
 
-            ids/att: [1, N, L]; bam: [1, N]; slot: scalar int32.
-            Because every slot's keys live in the same [n_slots, ...] cache,
-            we write at rows [slot] with lax.dynamic_update_index_in_dim.
+            ids/att: [1, Nb, L] right-padded to the bucket; bam: [1, Nb];
+            slot, true_len (real prompt blocks): scalar int32. The slot's
+            rows of the pooled cache are written via a one-row cache run
+            then a row scatter; padded-tail positions stay kv_valid=0 and
+            are overwritten as decode advances.
             """
             be = emb.embed_blocks(params["embedder"], cfg.embedder,
                                   cfg.block_length, ids,
-                                  attention_mask=att)          # [1, N, n, ph]
+                                  attention_mask=att)          # [1, Nb, n, ph]
             x = be.reshape(1, -1, be.shape[-1])
             S = x.shape[1]
             valid_row = jnp.zeros((1, cap), jnp.int32)
@@ -129,45 +161,50 @@ class ContinuousBatchingEngine:
                 valid_row, jnp.repeat(bam.astype(jnp.int32), n, axis=1), (0, 0))
             mask = masks.block_decode_mask(jnp.int32(0), cap, S, valid_row, n)
             positions = jnp.arange(S, dtype=jnp.int32)
-            # one-row cache view for this slot
-            row_cache = neox.KVCache(
-                k=jnp.zeros_like(cache.k[:, :1]),
-                v=jnp.zeros_like(cache.v[:, :1]),
-                length=jnp.int32(0))
+            row_cache = self.cache_cls.create(cfg.block_decoder, 1, cap,
+                                              dtype=x.dtype)
             hidden, row_cache = neox.neox_stack(
-                params["block_decoder"], x.astype(cache.k.dtype),
+                params["block_decoder"], x.astype(x.dtype),
                 cfg=cfg.block_decoder, mask=mask, positions=positions,
                 cache=row_cache)
             # scatter the row back into the pooled cache/state
-            new_k = jax.lax.dynamic_update_index_in_dim(cache.k, row_cache.k[:, 0],
-                                                        slot, axis=1)
-            new_v = jax.lax.dynamic_update_index_in_dim(cache.v, row_cache.v[:, 0],
-                                                        slot, axis=1)
+            updates = {
+                f: jax.lax.dynamic_update_index_in_dim(
+                    getattr(cache, f), getattr(row_cache, f)[:, 0], slot,
+                    axis=1)
+                for f in cache._fields if f != "length"}
+            new_cache = cache._replace(**updates)
+            # zero validity beyond the true prompt (padded bucket tail)
+            valid_row = jnp.where(jnp.arange(cap)[None] < true_len * n,
+                                  valid_row, 0)
             kv_valid = jax.lax.dynamic_update_index_in_dim(
                 kv_valid, valid_row[0], slot, axis=0)
+            # block-decoder output at the LAST REAL prompt block
+            last = jax.lax.dynamic_slice(
+                hidden, (0, (true_len - 1) * n, 0), (1, n, hidden.shape[-1]))
             next_embeds = jax.lax.dynamic_update_index_in_dim(
-                next_embeds, hidden[0, -n:, :].astype(next_embeds.dtype),
-                slot, axis=0)
-            return neox.KVCache(new_k, new_v, cache.length), kv_valid, next_embeds
+                next_embeds, last[0].astype(next_embeds.dtype), slot, axis=0)
+            return new_cache, kv_valid, next_embeds
 
         return prefill
 
     def _make_decode(self):
         cfg = self.cfg
         n = cfg.n_embedding_tokens
-        ph = cfg.embedder.projection_hidden_size
-        cap = self.max_blocks * n
+        cap = self.cap
 
         @jax.jit
         def decode_step(params, cache, kv_valid, next_embeds, slot_len,
                         active_mask, key):
-            """One block for every active slot. Per-slot write offsets differ,
-            so K/V appends scatter at [slot, :, slot_len[slot]*n, :]."""
+            """One block for every active slot. Per-slot write offsets feed
+            ``neox_stack(write_pos=...)`` — in-place scatter on the carried
+            cache, same numerics as static-batch decode."""
             B = next_embeds.shape[0]
             key, kb = jax.random.split(key)
             tokens, inner_alive = gen.decode_block_tokens(
                 params, cfg, next_embeds, greedy=self.greedy,
-                temperature=self.temperature, key=kb)
+                temperature=self.temperature, top_k=self.top_k,
+                top_p=self.top_p, key=kb)
             tokens = jnp.where(active_mask[:, None], tokens, cfg.pad_token_id)
             has_eos = active_mask & ~inner_alive
 
@@ -185,10 +222,10 @@ class ContinuousBatchingEngine:
             mask = masks.AttnMask(q_idx, kv_idx, kv_valid2)
             positions = write_pos[:, None] + jnp.arange(n, dtype=jnp.int32)[None]
 
-            hidden, cache2 = _per_slot_stack(params["block_decoder"],
-                                             cfg.block_decoder,
-                                             new_be.astype(cache.k.dtype),
-                                             mask, positions, cache, write_pos)
+            hidden, cache2 = neox.neox_stack(
+                params["block_decoder"], new_be.astype(next_embeds.dtype),
+                cfg=cfg.block_decoder, mask=mask, positions=positions,
+                cache=cache, write_pos=write_pos)
             next_embeds2 = hidden[:, -n:, :].astype(next_embeds.dtype)
             next_embeds2 = jnp.where(active_mask[:, None, None],
                                      next_embeds2, next_embeds)
@@ -217,11 +254,16 @@ class ContinuousBatchingEngine:
                 self.completed.append(req)
                 free.insert(0, slot)
                 continue
+            # pad to the bucket so the prefill compiles once per bucket
+            Nb = min(_round_up(N, self.bucket_blocks), self.max_blocks)
+            ids = np.pad(d["input_ids"], ((0, 0), (0, Nb - N), (0, 0)),
+                         constant_values=self.cfg.pad_token_id)
+            att = np.pad(d["attention_mask"], ((0, 0), (0, Nb - N), (0, 0)))
+            bam = np.pad(d["block_attention_mask"], ((0, 0), (0, Nb - N)))
             self.cache, self.kv_valid, self.next_embeds = self._prefill(
                 self.params, self.cache, self.kv_valid, self.next_embeds,
-                jnp.int32(slot), jnp.asarray(d["input_ids"]),
-                jnp.asarray(d["attention_mask"]),
-                jnp.asarray(d["block_attention_mask"]))
+                jnp.int32(slot), jnp.int32(N), jnp.asarray(ids),
+                jnp.asarray(att), jnp.asarray(bam))
             self.slot_len = self.slot_len.at[slot].set(N)
             self.active[slot] = req
             self.stats.prompts_admitted += 1
@@ -280,47 +322,3 @@ def _scatter_valid(kv_valid, write_pos, valid_new, n):
     cols = jnp.arange(cap, dtype=jnp.int32)[None]
     in_range = (cols >= write_pos[:, None]) & (cols < write_pos[:, None] + n)
     return jnp.where(in_range, valid_new[:, None], kv_valid)
-
-
-def _per_slot_stack(params, cfg, x, mask, positions, cache: neox.KVCache,
-                    write_pos):
-    """neox stack where each batch row writes its K/V at its own offset.
-
-    x: [B, n, h]; positions: [B, n]; write_pos: [B] (embedding-token units).
-    Reuses neox.layer_qkv / neox.layer_finish so engine numerics can never
-    drift from the core stack; only the per-row scatter differs.
-    """
-    B, S, _ = x.shape
-    H, D = cfg.num_heads, cfg.head_dim
-    cos, sin = neox.rope_tables(cfg, max(cfg.max_position_embeddings,
-                                         cache.k.shape[3]))
-
-    def body(h, layer_in):
-        p, k_l, v_l = layer_in     # k_l/v_l: [B, H, cap, D]
-        q, k, v = neox.layer_qkv(p, h, cfg=cfg, cos=cos, sin=sin,
-                                 positions=positions)
-
-        # scatter per-row at write_pos
-        cols = jnp.arange(k_l.shape[2], dtype=jnp.int32)
-        sel = ((cols[None, :] >= write_pos[:, None])
-               & (cols[None, :] < write_pos[:, None] + S))   # [B, cap]
-        idx = jnp.clip(cols[None, :] - write_pos[:, None], 0, S - 1)  # [B, cap]
-        k_new = jnp.take_along_axis(
-            k.transpose(0, 2, 1, 3), idx[:, :, None, None].repeat(H, 2), axis=1)
-        v_new = jnp.take_along_axis(
-            v.transpose(0, 2, 1, 3), idx[:, :, None, None].repeat(H, 2), axis=1)
-        k_full = jnp.where(sel[:, :, None, None], k_new,
-                           k_l.transpose(0, 2, 1, 3)).transpose(0, 2, 1, 3)
-        v_full = jnp.where(sel[:, :, None, None], v_new,
-                           v_l.transpose(0, 2, 1, 3)).transpose(0, 2, 1, 3)
-
-        from block_transformer_tpu.models.neox import _attention
-        attn = _attention(q, k_full.astype(q.dtype), v_full.astype(q.dtype),
-                          mask, cfg.attn_impl)
-        h = neox.layer_finish(p, h, attn, cfg=cfg)
-        return h, (k_full.astype(k_l.dtype), v_full.astype(v_l.dtype))
-
-    h, (new_k, new_v) = jax.lax.scan(body, x, (params["layers"], cache.k,
-                                               cache.v))
-    h = neox.layer_norm(h, params["final_ln"], cfg.layer_norm_eps)
-    return h, neox.KVCache(new_k, new_v, cache.length)

@@ -171,7 +171,11 @@ def generate_blocks(params, cfg: BlockTransformerConfig, input_ids,
             f"token={cfg.token_decoder.cls!r}")
     if key is None:
         key = jax.random.PRNGKey(0)
+    # round capacity to a lane multiple so the fused decode-attention
+    # kernel gets an aligned K tiling (extra slots stay kv_valid=0)
     capacity = max_blocks * n
+    if capacity >= 128:
+        capacity = -(-capacity // 128) * 128
 
     # ---- prefill ---------------------------------------------------------
     # chunked: the prompt's block embeddings stream through the block decoder

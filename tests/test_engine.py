@@ -85,3 +85,53 @@ def test_engine_run_returns_completed():
     done = eng.run(max_steps=40)
     assert {r.uid for r in done} == {u1, u2}
     assert all(r.done for r in done)
+
+
+def test_engine_int8_cache_matches_int8_generate():
+    """INT8-cache serving must be token-exact vs static-batch generation
+    with the same INT8 global cache (greedy)."""
+    cfg, params = _setup(3)
+    rng = np.random.default_rng(5)
+    prompts = [rng.integers(1, VOCAB, size=n) for n in (8, 6)]
+    max_new = 8
+
+    def ref_int8(prompt):
+        d = gen.preprocess_inputs(cfg, prompt[None])
+        N = d["input_ids"].shape[1]
+        res = gen.generate_blocks(
+            params, cfg, jnp.asarray(d["input_ids"]),
+            jnp.asarray(d["attention_mask"]),
+            jnp.asarray(d["block_attention_mask"]),
+            max_blocks=N + max_new // L, kv_cache="int8")
+        toks = np.asarray(res.tokens).reshape(1, -1)
+        pad = d["initial_block_padding"]
+        return [int(t) for t in toks[0, pad + len(prompt):
+                                     pad + len(prompt) + max_new]]
+
+    eng = ContinuousBatchingEngine(params, cfg, n_slots=2, max_blocks=16,
+                                   kv_cache="int8", bucket_blocks=4)
+    reqs = [eng.submit(p, max_new) for p in prompts]
+    all_reqs = {r.uid: r for r in (eng.waiting + list(eng.active.values()))}
+    eng.run(max_steps=50)
+    for p, uid in zip(prompts, reqs):
+        got = all_reqs[uid].generated
+        want = ref_int8(p)[: len(got)]
+        assert got == want, (got, want)
+
+
+def test_engine_bucketing_matches_generate():
+    """Different prompt lengths land in one bucket; outputs must still be
+    exact (padded tail is masked + overwritten)."""
+    cfg, params = _setup(4)
+    rng = np.random.default_rng(6)
+    prompts = [rng.integers(1, VOCAB, size=n) for n in (4, 9, 14)]
+    max_new = 8
+    eng = ContinuousBatchingEngine(params, cfg, n_slots=3, max_blocks=16,
+                                   bucket_blocks=4)
+    reqs = [eng.submit(p, max_new) for p in prompts]
+    all_reqs = {r.uid: r for r in (eng.waiting + list(eng.active.values()))}
+    eng.run(max_steps=50)
+    for p, uid in zip(prompts, reqs):
+        got = all_reqs[uid].generated
+        want = _reference_generation(params, cfg, p, max_new)[: len(got)]
+        assert got == want, (got, want)
