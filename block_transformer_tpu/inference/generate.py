@@ -126,6 +126,40 @@ class _GenCarry(NamedTuple):
     key: jax.Array
 
 
+def _constrain_carry(c: _GenCarry) -> _GenCarry:
+    """Pin the while-loop carry's shardings when running under a mesh.
+
+    Without explicit constraints GSPMD is free to re-shard loop carries
+    between iterations (the round-1 SPMD reshard warning on the decode
+    inner loop); pinning batch on the data axes and cache heads on
+    ``model`` keeps every iteration's layout identical.
+    """
+    mesh = jax.sharding.get_abstract_mesh()
+    if mesh is None or not mesh.axis_names or "data" not in mesh.axis_names:
+        return c
+    from jax.sharding import PartitionSpec as P
+    batch = (("dcn", "data") if "dcn" in mesh.axis_names else "data",)
+    model = "model" if "model" in mesh.axis_names else None
+    wsc = jax.lax.with_sharding_constraint
+    cache = c.cache
+    kv_spec = P(None, batch[0], model, None, None)
+    sc_spec = P(None, batch[0], model, None)
+    if isinstance(cache, neox.QuantKVCache):
+        cache = neox.QuantKVCache(wsc(cache.k, kv_spec), wsc(cache.v, kv_spec),
+                                  wsc(cache.k_scale, sc_spec),
+                                  wsc(cache.v_scale, sc_spec), cache.length)
+    else:
+        cache = neox.KVCache(wsc(cache.k, kv_spec), wsc(cache.v, kv_spec),
+                             cache.length)
+    return c._replace(
+        tokens=wsc(c.tokens, P(batch[0], None, None)),
+        next_embeds=wsc(c.next_embeds, P(batch[0], None, None)),
+        cache=cache,
+        kv_valid=wsc(c.kv_valid, P(batch[0], None)),
+        unfinished=wsc(c.unfinished, P(batch[0])),
+    )
+
+
 def _block_decoder_step(params, cfg: BlockTransformerConfig, inputs_embeds,
                         cache: neox.KVCache, kv_valid, new_valid):
     """Append ``S = inputs_embeds.shape[1]`` positions to the global cache and
@@ -236,9 +270,10 @@ def generate_blocks(params, cfg: BlockTransformerConfig, input_ids,
     tokens = jnp.zeros((B, max_blocks, L), jnp.int32)
     tokens = jax.lax.dynamic_update_slice(tokens, input_ids.astype(jnp.int32),
                                           (0, 0, 0))
-    carry = _GenCarry(tokens=tokens, n_blocks=jnp.int32(N),
-                      next_embeds=next_embeds, cache=cache, kv_valid=kv_valid,
-                      unfinished=jnp.ones((B,), jnp.int32), key=key)
+    carry = _constrain_carry(
+        _GenCarry(tokens=tokens, n_blocks=jnp.int32(N),
+                  next_embeds=next_embeds, cache=cache, kv_valid=kv_valid,
+                  unfinished=jnp.ones((B,), jnp.int32), key=key))
 
     # ---- outer decode loop ----------------------------------------------
     def cond(c: _GenCarry):
@@ -270,9 +305,10 @@ def generate_blocks(params, cfg: BlockTransformerConfig, input_ids,
             params, cfg, new_block_emb.reshape(B, n, ph).astype(c.next_embeds.dtype),
             c.cache, c.kv_valid,
             jnp.broadcast_to(unfinished[:, None], (B, n)))
-        return _GenCarry(tokens=tokens, n_blocks=c.n_blocks + 1,
-                         next_embeds=hidden[:, -n:, :], cache=cache,
-                         kv_valid=kv_valid, unfinished=unfinished, key=key)
+        return _constrain_carry(
+            _GenCarry(tokens=tokens, n_blocks=c.n_blocks + 1,
+                      next_embeds=hidden[:, -n:, :], cache=cache,
+                      kv_valid=kv_valid, unfinished=unfinished, key=key))
 
     final = jax.lax.while_loop(cond, body, carry)
     return GenerationResult(final.tokens, final.n_blocks, final.unfinished)

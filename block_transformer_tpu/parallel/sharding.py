@@ -21,9 +21,24 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def make_mesh(n_data: Optional[int] = None, n_model: Optional[int] = None,
-              devices=None) -> Mesh:
+              devices=None, n_dcn: Optional[int] = None) -> Mesh:
+    """(data, model) mesh over ICI; pass ``n_dcn`` for a three-axis
+    (dcn, data, model) mesh where the leading axis crosses hosts — batch
+    shards over (dcn, data) so gradient/batch collectives ride the ICI
+    within a slice and only the dcn-axis reduction crosses the datacenter
+    network (SURVEY.md §5.8)."""
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
+    if n_dcn:
+        n_per = n // n_dcn
+        assert n_dcn * n_per == n, (n_dcn, n)
+        if n_model is None:
+            n_model = 1 if n_per == 1 else min(4, n_per)
+        if n_data is None:
+            n_data = n_per // n_model
+        assert n_dcn * n_data * n_model == n, (n_dcn, n_data, n_model, n)
+        dev = np.asarray(devices).reshape(n_dcn, n_data, n_model)
+        return Mesh(dev, ("dcn", "data", "model"))
     if n_data is None and n_model is None:
         n_model = 1 if n == 1 else min(4, n)
         n_data = n // n_model
@@ -34,6 +49,11 @@ def make_mesh(n_data: Optional[int] = None, n_model: Optional[int] = None,
     assert n_data * n_model == n, (n_data, n_model, n)
     dev = np.asarray(devices).reshape(n_data, n_model)
     return Mesh(dev, ("data", "model"))
+
+
+def data_axes(mesh: Mesh) -> tuple:
+    """Every mesh axis that shards the batch (all but ``model``)."""
+    return tuple(a for a in mesh.axis_names if a != "model")
 
 
 # ---------------------------------------------------------------------------
@@ -98,7 +118,9 @@ def param_shardings(mesh: Mesh, params):
     return jax.tree.map(lambda s: NamedSharding(mesh, s), param_pspecs(params))
 
 
-def batch_pspec() -> P:
+def batch_pspec(mesh: Optional[Mesh] = None) -> P:
+    if mesh is not None and "dcn" in mesh.axis_names:
+        return P(("dcn", "data"))
     return P("data")
 
 

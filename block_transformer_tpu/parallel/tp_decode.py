@@ -1,0 +1,439 @@
+"""Tensor-parallel two-level decode under ``jax.shard_map``.
+
+GSPMD (annotate + let XLA choose) is the default path everywhere else in
+the framework; this module is the **explicit-collective** decode step of
+SURVEY.md §5.8 / §7.2 step 6: every array is a manual per-device shard,
+and the collectives are placed by hand so their cost and position are
+auditable:
+
+- QKV / MLP-up are column-parallel (local heads / local FFN slice), out /
+  MLP-down row-parallel. The two partial sums share **one fused
+  ``psum``** per layer (legal because GPT-NeoX uses the parallel
+  attn+MLP residual), so a layer costs a single model-axis collective of
+  ``[B_local, S, hidden]`` — half the collectives of the naive
+  row-parallel placement, and the all-gather of the round-1 GSPMD decode
+  (the SPMD reshard warning on the loop carry) is gone by construction.
+- The LM head is vocab-sharded; sampling does one tiled ``all_gather``
+  of ``[B_local, V/tp]`` logits per token step.
+- The global block-level KV cache lives sharded over (data: batch,
+  model: heads) for its whole lifetime; nothing ever gathers it.
+- The outer while-loop's stopping flag is ``psum``-reduced over the data
+  axis so every shard exits on the same step.
+
+Reuses the exact layer math of models/neox.py (layer_qkv + layer_norm +
+the fused Pallas dequant matmuls through StackedLinear views) on local
+shards, with a local NeoXConfig whose (hidden, heads, ffn) are divided by
+the model-axis size — numerics are the single-device path's, verified
+token-exact in tests/test_tp_decode.py.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import PartitionSpec as P
+
+from block_transformer_tpu.config import BlockTransformerConfig, NeoXConfig
+from block_transformer_tpu.models import embedder as emb
+from block_transformer_tpu.models import neox
+from block_transformer_tpu.models import token_decoder as td
+from block_transformer_tpu.ops import masks
+from block_transformer_tpu.ops.linear import StackedLinear, apply_linear
+
+
+# ---------------------------------------------------------------------------
+# Partition specs for shard_map (manual) TP decode
+# ---------------------------------------------------------------------------
+
+def _neox_tp_spec(tail: str) -> P:
+    rules = {
+        "layers/attn/qkv/kernel": P(None, None, "model"),
+        "layers/attn/qkv/bias": P(None, "model"),
+        "layers/attn/qkv/kernel_q8": P(None, None, "model"),
+        "layers/attn/qkv/kernel_q4": P(None, None, "model"),
+        "layers/attn/qkv/scale": P(None, "model"),
+        "layers/attn/out/kernel": P(None, "model", None),
+        "layers/attn/out/kernel_q8": P(None, "model", None),
+        "layers/attn/out/kernel_q4": P(None, "model", None),
+        "layers/attn/out/scale": P(None, None),
+        "layers/attn/out/bias": P(None, None),
+        "layers/mlp/up/kernel": P(None, None, "model"),
+        "layers/mlp/up/kernel_q8": P(None, None, "model"),
+        "layers/mlp/up/kernel_q4": P(None, None, "model"),
+        "layers/mlp/up/scale": P(None, "model"),
+        "layers/mlp/up/bias": P(None, "model"),
+        "layers/mlp/down/kernel": P(None, "model", None),
+        "layers/mlp/down/kernel_q8": P(None, "model", None),
+        "layers/mlp/down/kernel_q4": P(None, "model", None),
+        "layers/mlp/down/scale": P(None, None),
+        "layers/mlp/down/bias": P(None, None),
+        "embed_out/kernel": P(None, "model"),
+        "embed_out/kernel_q8": P(None, "model"),
+        "embed_out/kernel_q4": P(None, "model"),
+        "embed_out/scale": P("model",),
+    }
+    return rules.get(tail)
+
+
+def tp_param_specs(params: dict):
+    """Manual-mode PartitionSpecs for a block-transformer param tree.
+
+    Embedder, layer norms, biases of row-parallel matmuls, and the
+    expansion layer are replicated; everything matmul-heavy shards as in
+    _neox_tp_spec. (INT4 packed kernels shard like their fp kernels: the
+    packed axis is K/2, still the row axis.)
+    """
+
+    def spec(path, leaf):
+        names = []
+        for k in path:
+            names.append(getattr(k, "key", getattr(k, "name", str(k))))
+        if names[0] == "embedder":
+            return P()
+        tail = "/".join(names[1:])
+        s = _neox_tp_spec(tail)
+        if s is not None:
+            return s
+        return P()  # ln / final_ln / embed_in / expansion / replicated bias
+
+    return jax.tree_util.tree_map_with_path(spec, params)
+
+
+# ---------------------------------------------------------------------------
+# Host-side param preparation: head-major QKV layout
+# ---------------------------------------------------------------------------
+
+def _qkv_head_major_perm(hidden: int, num_heads: int) -> jnp.ndarray:
+    """Column permutation (q|k|v, head, d) -> (head, q|k|v, d).
+
+    The stacked QKV kernel stores Q columns [0, h), K [h, 2h), V [2h, 3h)
+    (models/neox.py layout). Contiguous column sharding would hand shard 0
+    all of Q plus a slice of K — permuting to head-major makes each
+    contiguous 3h/tp chunk exactly the (q, k, v) of H/tp whole heads.
+    """
+    D = hidden // num_heads
+    perm = np.empty((3 * hidden,), np.int32)
+    j = 0
+    for head in range(num_heads):
+        for s in range(3):
+            for d in range(D):
+                perm[j] = s * hidden + head * D + d
+                j += 1
+    return jnp.asarray(perm)
+
+
+def prepare_tp_params(params: dict, cfg: BlockTransformerConfig) -> dict:
+    """Permute every stack's QKV node to head-major column order (kernel /
+    quantized kernel / bias / scale) so tp_param_specs' contiguous column
+    shards carry whole heads. Pure host-side transform; apply once before
+    sharding with tp_param_specs."""
+    out = dict(params)
+    for name, ncfg in (("block_decoder", cfg.block_decoder),
+                       ("token_decoder", cfg.token_decoder.neox)):
+        if name not in params:
+            continue
+        stack = dict(params[name])
+        layers = dict(stack["layers"])
+        attn = dict(layers["attn"])
+        qkv = dict(attn["qkv"])
+        perm = _qkv_head_major_perm(ncfg.hidden_size, ncfg.num_heads)
+        for k in list(qkv):
+            qkv[k] = jnp.take(qkv[k], perm, axis=-1)
+        attn["qkv"] = qkv
+        layers["attn"] = attn
+        stack["layers"] = layers
+        out[name] = stack
+    return out
+
+
+def _tp_layer_qkv(p, x, *, lcfg: NeoXConfig, cos, sin, positions):
+    """layer_qkv for the head-major local QKV shard: the local columns are
+    (head, q|k|v, d) over H_local heads."""
+    B, S, H, D = x.shape[0], x.shape[1], lcfg.num_heads, lcfg.head_dim
+    attn_in = neox.layer_norm(x, p["ln1"], lcfg.layer_norm_eps)
+    qkv = apply_linear(attn_in, p["attn"]["qkv"])              # [B, S, H*3D]
+    qkv = qkv.reshape(B, S, H, 3, D).transpose(3, 0, 2, 1, 4)  # [3, B, H, S, D]
+    q, k, v = qkv[0], qkv[1], qkv[2]
+    q = neox.apply_rope(q, cos, sin, positions)
+    k = neox.apply_rope(k, cos, sin, positions)
+    return q, k, v
+
+
+# ---------------------------------------------------------------------------
+# Local (per-shard) layer step with one fused psum
+# ---------------------------------------------------------------------------
+
+def _local_cfg(cfg: NeoXConfig, tp: int) -> NeoXConfig:
+    assert cfg.num_heads % tp == 0 and cfg.intermediate_size % tp == 0
+    return dataclasses.replace(cfg, hidden_size=cfg.hidden_size // tp,
+                               num_heads=cfg.num_heads // tp,
+                               intermediate_size=cfg.intermediate_size // tp)
+
+
+def _nobias(node: dict) -> dict:
+    return {k: v for k, v in node.items() if k != "bias"}
+
+
+def _bias_of(node: dict, i):
+    if "bias" not in node:
+        return 0.0
+    return jax.lax.dynamic_index_in_dim(node["bias"], i, 0, keepdims=False)
+
+
+def _tp_stack(params, x, *, cfg: NeoXConfig, tp: int, mask, positions,
+              cache, write_pos, axis: str = "model"):
+    """Cached decode stack on local shards; one psum('model') per layer.
+
+    params: LOCAL shards laid out per tp_param_specs. x replicated over
+    the model axis ([B_local, S, hidden]). cache: local
+    [L, B_local, H_local, cap, D] (+scales for QuantKVCache).
+    """
+    lcfg = _local_cfg(cfg, tp)
+    cos, sin = neox.rope_tables(cfg, max(cfg.max_position_embeddings,
+                                         cache.k.shape[3]))
+    layers = params["layers"]
+    quantized = isinstance(cache, neox.QuantKVCache)
+    use_fused = neox._fused_kv_attn_enabled(x.shape[1])
+
+    def body(carry, i):
+        if quantized:
+            h, ck, cv, cks, cvs = carry
+        else:
+            h, ck, cv = carry
+        p = neox.layer_view(layers, i)
+        q, k, v = _tp_layer_qkv(p, h, lcfg=lcfg, cos=cos, sin=sin,
+                                positions=positions)
+        if quantized:
+            kq, ks = neox.quantize_kv(k)
+            vq, vs = neox.quantize_kv(v)
+            ck = neox._write_kv(ck, kq, i, write_pos)
+            cv = neox._write_kv(cv, vq, i, write_pos)
+            cks = neox._write_kv(cks, ks, i, write_pos)
+            cvs = neox._write_kv(cvs, vs, i, write_pos)
+            if use_fused:
+                from block_transformer_tpu.ops import decode_attention
+                attn = decode_attention.decode_attention_int8_stacked(
+                    q, ck, cks, cv, cvs, i, mask)
+            else:
+                kq_all = jax.lax.dynamic_index_in_dim(ck, i, 0, False)
+                vq_all = jax.lax.dynamic_index_in_dim(cv, i, 0, False)
+                ks_all = jax.lax.dynamic_index_in_dim(cks, i, 0, False)
+                vs_all = jax.lax.dynamic_index_in_dim(cvs, i, 0, False)
+                k_all = (kq_all.astype(jnp.float32)
+                         * ks_all[..., None]).astype(q.dtype)
+                v_all = (vq_all.astype(jnp.float32)
+                         * vs_all[..., None]).astype(q.dtype)
+                attn = neox._attention(q, k_all, v_all, mask, cfg.attn_impl)
+        else:
+            ck = neox._write_kv(ck, k, i, write_pos)
+            cv = neox._write_kv(cv, v, i, write_pos)
+            k_all = jax.lax.dynamic_index_in_dim(ck, i, 0, False)
+            v_all = jax.lax.dynamic_index_in_dim(cv, i, 0, False)
+            attn = neox._attention(q, k_all.astype(q.dtype),
+                                   v_all.astype(q.dtype), mask, cfg.attn_impl)
+
+        B, S = h.shape[0], h.shape[1]
+        a_flat = attn.transpose(0, 2, 1, 3).reshape(B, S, -1)
+        a_part = apply_linear(a_flat,
+                              StackedLinear(_nobias(layers["attn"]["out"]), i))
+        mlp_in = neox.layer_norm(h, p["ln2"], cfg.layer_norm_eps)
+        u = apply_linear(mlp_in, p["mlp"]["up"])        # bias is sharded
+        m_part = apply_linear(jax.nn.gelu(u, approximate=False),
+                              StackedLinear(_nobias(layers["mlp"]["down"]), i))
+        # ONE fused collective per layer: attn-out and MLP-down partials
+        # share the psum (parallel residual); replicated biases added once
+        tot = jax.lax.psum(a_part + m_part, axis)
+        tot = tot + _bias_of(layers["attn"]["out"], i) \
+                  + _bias_of(layers["mlp"]["down"], i)
+        assert cfg.use_parallel_residual, \
+            "tp decode implements the parallel-residual (Pythia) layout"
+        h = h + tot.astype(h.dtype)
+        return ((h, ck, cv, cks, cvs) if quantized else (h, ck, cv)), None
+
+    idx = jnp.arange(cfg.num_layers, dtype=jnp.int32)
+    if quantized:
+        (h, nk, nv, nks, nvs), _ = jax.lax.scan(
+            body, (x, cache.k, cache.v, cache.k_scale, cache.v_scale), idx)
+        new_cache = neox.QuantKVCache(nk, nv, nks, nvs,
+                                      cache.length + x.shape[1])
+    else:
+        (h, nk, nv), _ = jax.lax.scan(body, (x, cache.k, cache.v), idx)
+        new_cache = neox.KVCache(nk, nv, cache.length + x.shape[1])
+    h = neox.layer_norm(h, params["final_ln"], cfg.layer_norm_eps)
+    return h, new_cache
+
+
+def _tp_logits(params, hidden, axis: str = "model"):
+    """Vocab-sharded LM head + tiled all_gather -> full [.., V] fp32."""
+    local = apply_linear(hidden, _nobias(params["embed_out"]))
+    if "bias" in params["embed_out"]:
+        local = local + params["embed_out"]["bias"]
+    return jax.lax.all_gather(local.astype(jnp.float32), axis, axis=local.ndim - 1,
+                              tiled=True)
+
+
+# ---------------------------------------------------------------------------
+# Two-level decode (shard_map body)
+# ---------------------------------------------------------------------------
+
+class _Carry(NamedTuple):
+    tokens: jax.Array
+    n_blocks: jax.Array
+    next_embeds: jax.Array
+    cache: object
+    kv_valid: jax.Array
+    unfinished: jax.Array
+    any_unfinished: jax.Array
+    key: jax.Array
+
+
+def _tp_decode_block_tokens(params, cfg: BlockTransformerConfig, tp,
+                            block_embeddings, greedy, temperature, key):
+    """Inner loop on shards: local token-decoder cache, all-gathered logits."""
+    from block_transformer_tpu.inference.generate import _sample
+    tcfg = cfg.token_decoder
+    L = cfg.block_length
+    n_exp = cfg.n_expanded_emb
+    B = block_embeddings.shape[0]
+    eos, pad = cfg.eos_token_id, cfg.pad_token_id
+    lcfg = _local_cfg(tcfg.neox, tp)
+
+    expanded = td.expand_block_embeddings(params["token_decoder"], tcfg,
+                                          block_embeddings,
+                                          cfg.expansion_ratio)
+    cache = neox.KVCache.create(lcfg, B, n_exp + L, dtype=expanded.dtype)
+    capacity = cache.k.shape[3]
+
+    def run(x, cache):
+        S = x.shape[1]
+        mask = masks.decode_mask(cache.length, capacity, S)
+        positions = cache.length + jnp.arange(S, dtype=jnp.int32)
+        h, cache = _tp_stack(params["token_decoder"], x, cfg=tcfg.neox, tp=tp,
+                             mask=mask, positions=positions, cache=cache,
+                             write_pos=cache.length)
+        return _tp_logits(params["token_decoder"], h[:, -1, :]), cache
+
+    logits, cache = run(expanded, cache)
+    key, k0 = jax.random.split(key)
+    first = _sample(logits, greedy, temperature, k0)
+    alive = first != eos
+    first = jnp.where(alive, first, pad)
+    tokens0 = jnp.zeros((B, L), jnp.int32).at[:, 0].set(first)
+
+    def body(i, carry):
+        tokens, cache, alive, key = carry
+        key, kk = jax.random.split(key)
+        prev = jnp.where(alive, tokens[:, i - 1], pad)
+        x = neox.embed_tokens(params["token_decoder"], prev[:, None])
+        logits, cache = run(x, cache)
+        nxt = _sample(logits, greedy, temperature, kk)
+        emit = jnp.where(alive & (nxt != eos), nxt, pad)
+        alive = alive & (nxt != eos)
+        tokens = tokens.at[:, i].set(emit)
+        return tokens, cache, alive, key
+
+    tokens, _, alive, _ = jax.lax.fori_loop(1, L, body,
+                                            (tokens0, cache, alive, key))
+    return tokens, alive
+
+
+def make_tp_generate_blocks(mesh, cfg: BlockTransformerConfig, params_tree,
+                            *, max_blocks: int, greedy: bool = True,
+                            temperature: float = 1.0,
+                            kv_cache: str = "bf16"):
+    """Build a jitted shard_map two-level generator over ``mesh``.
+
+    Returns ``fn(params, input_ids, attention_mask, block_attention_mask,
+    key) -> tokens [B, max_blocks, L]`` with batch sharded over every data
+    axis and weights sharded over ``model`` per tp_param_specs.
+    """
+    tp = int(mesh.shape["model"])
+    data_axes = tuple(a for a in mesh.axis_names if a != "model")
+    n = cfg.n_embedding_tokens
+    ph = cfg.embedder.projection_hidden_size
+    capacity = max_blocks * n
+    if capacity >= 128:
+        capacity = -(-capacity // 128) * 128
+    cache_cls = neox.QuantKVCache if kv_cache == "int8" else neox.KVCache
+    pspecs = tp_param_specs(params_tree)
+    data_p = P(data_axes)
+
+    def body(params, input_ids, attention_mask, bam, key):
+        B, N, L = input_ids.shape
+        # decorrelate sampling noise across data shards
+        for ax in data_axes:
+            key = jax.random.fold_in(key, jax.lax.axis_index(ax))
+
+        block_embeds = emb.embed_blocks(params["embedder"], cfg.embedder,
+                                        cfg.block_length, input_ids,
+                                        attention_mask=attention_mask)
+        x = block_embeds.reshape(B, N * n, ph)
+        cache = cache_cls.create(_local_cfg(cfg.block_decoder, tp), B,
+                                 capacity, dtype=x.dtype)
+        kv_valid = jnp.zeros((B, capacity), jnp.int32)
+        prompt_valid = jnp.repeat(bam.astype(jnp.int32), n, axis=1)
+
+        def block_step(inputs_embeds, cache, kv_valid, new_valid):
+            S = inputs_embeds.shape[1]
+            kv_valid = jax.lax.dynamic_update_slice(
+                kv_valid, new_valid.astype(kv_valid.dtype), (0, cache.length))
+            mask = masks.block_decode_mask(cache.length, capacity, S,
+                                           kv_valid, n)
+            positions = cache.length + jnp.arange(S, dtype=jnp.int32)
+            h, cache = _tp_stack(params["block_decoder"], inputs_embeds,
+                                 cfg=cfg.block_decoder, tp=tp,
+                                 mask=mask, positions=positions, cache=cache,
+                                 write_pos=cache.length)
+            return h, cache, kv_valid
+
+        hidden, cache, kv_valid = block_step(x, cache, kv_valid, prompt_valid)
+        next_embeds = hidden[:, -n:, :]
+
+        tokens = jnp.zeros((B, max_blocks, L), jnp.int32)
+        tokens = jax.lax.dynamic_update_slice(
+            tokens, input_ids.astype(jnp.int32), (0, 0, 0))
+        carry = _Carry(tokens, jnp.int32(N), next_embeds, cache, kv_valid,
+                       jnp.ones((B,), jnp.int32), jnp.int32(1), key)
+
+        def cond(c):
+            return (c.n_blocks < max_blocks) & (c.any_unfinished > 0)
+
+        def step(c: _Carry) -> _Carry:
+            key, kb = jax.random.split(c.key)
+            alive = c.unfinished.astype(bool)
+            new_tokens, inner_alive = _tp_decode_block_tokens(
+                params, cfg, tp, c.next_embeds, greedy, temperature, kb)
+            new_tokens = jnp.where(alive[:, None], new_tokens,
+                                   cfg.pad_token_id)
+            unfinished = c.unfinished * inner_alive.astype(jnp.int32)
+            tokens = jax.lax.dynamic_update_slice(
+                c.tokens, new_tokens[:, None, :], (0, c.n_blocks, 0))
+            new_be = emb.embed_blocks(params["embedder"], cfg.embedder,
+                                      cfg.block_length, new_tokens)
+            new_be = jnp.where(alive[:, None, None], new_be, 0.0)
+            hidden, cache, kv_valid = block_step(
+                new_be.reshape(B, n, ph).astype(c.next_embeds.dtype),
+                c.cache, c.kv_valid,
+                jnp.broadcast_to(unfinished[:, None], (B, n)))
+            # replicated stopping flag: sum unfinished over the data axes
+            any_unf = jnp.sum(unfinished)
+            for ax in data_axes:
+                any_unf = jax.lax.psum(any_unf, ax)
+            return _Carry(tokens, c.n_blocks + 1, hidden[:, -n:, :], cache,
+                          kv_valid, unfinished, any_unf, key)
+
+        final = jax.lax.while_loop(cond, step, carry)
+        return final.tokens, final.n_blocks
+
+    fn = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(pspecs, data_p, data_p, data_p, P()),
+        out_specs=(data_p, P()),
+        check_vma=False,
+    )
+    return jax.jit(fn)

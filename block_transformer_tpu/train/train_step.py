@@ -76,7 +76,8 @@ def make_sharded_train_step(mesh, cfg: BlockTransformerConfig, tx,
     pspecs = sh.param_pspecs(params)
     opt_pspecs = _opt_state_pspecs(tx, params, pspecs)
     state_spec = TrainState(params=pspecs, opt_state=opt_pspecs, step=P())
-    batch_spec = {k: P("data") for k in
+    bp = sh.batch_pspec(mesh)
+    batch_spec = {k: bp for k in
                   ("input_ids", "attention_mask", "block_attention_mask",
                    "labels")}
 
@@ -122,7 +123,8 @@ def make_sharded_grad_and_apply(mesh, cfg: BlockTransformerConfig, tx,
     pspecs = sh.param_pspecs(params)
     opt_pspecs = _opt_state_pspecs(tx, params, pspecs)
     state_spec = TrainState(params=pspecs, opt_state=opt_pspecs, step=P())
-    batch_spec = {k: P("data") for k in
+    bp = sh.batch_pspec(mesh)
+    batch_spec = {k: bp for k in
                   ("input_ids", "attention_mask", "block_attention_mask",
                    "labels")}
 

@@ -136,7 +136,7 @@ class Trainer:
         stop = tcfg.stop_steps or tcfg.num_train_steps
 
         batch_sharding = jax.sharding.NamedSharding(
-            self.mesh, jax.sharding.PartitionSpec("data"))
+            self.mesh, sh.batch_pspec(self.mesh))
         cursor = self._samples_consumed_before(start_step)
         with jax.sharding.set_mesh(self.mesh):
             for step in range(start_step, stop):

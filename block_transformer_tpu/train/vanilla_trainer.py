@@ -77,7 +77,7 @@ class VanillaTrainer:
             self.apply_fn = jax.jit(apply_step, donate_argnums=(0, 1))
             self.zeros_fn = jax.jit(lambda p: jax.tree.map(
                 lambda x: jnp.zeros(x.shape, jnp.float32), p))
-        self._batch_sharding = NamedSharding(self.mesh, P("data"))
+        self._batch_sharding = NamedSharding(self.mesh, sh.batch_pspec(self.mesh))
         self.micro_batch = tcfg.micro_batch_size or tcfg.total_batch_size
         if tcfg.total_batch_size % self.micro_batch:
             raise ValueError("total_batch_size must divide by micro_batch_size")

@@ -1,0 +1,81 @@
+"""Explicit-collective TP decode (parallel/tp_decode.py) must be
+token-exact vs single-device generation — bf16 and INT8 caches, on a
+2x4 (data, model) mesh and a 2x2x2 (dcn, data, model) mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from tests.test_block_parity import make_cfg, VOCAB
+from block_transformer_tpu.models import block_transformer as bt
+from block_transformer_tpu.inference import generate as gen
+from block_transformer_tpu.parallel import sharding as sh
+from block_transformer_tpu.parallel import tp_decode
+
+
+def _setup():
+    cfg = make_cfg()
+    params = bt.init_block_transformer_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    B, N, L = 4, 4, cfg.block_length
+    ids = jnp.asarray(rng.integers(1, VOCAB, size=(B, N, L)), jnp.int32)
+    att = jnp.ones((B, N, L), jnp.int32)
+    bam = jnp.ones((B, N), jnp.int32)
+    return cfg, params, ids, att, bam
+
+
+def _run_tp(mesh, cfg, params, ids, att, bam, kv_cache):
+    tp_params = tp_decode.prepare_tp_params(params, cfg)
+    fn = tp_decode.make_tp_generate_blocks(mesh, cfg, tp_params,
+                                           max_blocks=8, kv_cache=kv_cache)
+    sp = jax.tree.map(lambda s: NamedSharding(mesh, s),
+                      tp_decode.tp_param_specs(tp_params),
+                      is_leaf=lambda x: isinstance(x, P))
+    p_sh = jax.tree.map(jax.device_put, tp_params, sp)
+    data_sh = NamedSharding(mesh, P(sh.data_axes(mesh)))
+    toks, nb = fn(p_sh, jax.device_put(ids, data_sh),
+                  jax.device_put(att, data_sh), jax.device_put(bam, data_sh),
+                  jax.random.PRNGKey(0))
+    return np.asarray(toks), int(nb)
+
+
+def test_tp_decode_exact_bf16_and_int8():
+    cfg, params, ids, att, bam = _setup()
+    mesh = sh.make_mesh(n_data=2, n_model=4)
+    for kv in ("bf16", "int8"):
+        ref = gen.generate_blocks(params, cfg, ids, att, bam, max_blocks=8,
+                                  greedy=True, kv_cache=kv)
+        toks, nb = _run_tp(mesh, cfg, params, ids, att, bam, kv)
+        assert nb == int(ref.n_blocks)
+        np.testing.assert_array_equal(toks, np.asarray(ref.tokens))
+
+
+def test_tp_decode_exact_dcn_mesh():
+    cfg, params, ids, att, bam = _setup()
+    mesh = sh.make_mesh(n_dcn=2, n_data=2, n_model=2)
+    assert mesh.axis_names == ("dcn", "data", "model")
+    ref = gen.generate_blocks(params, cfg, ids, att, bam, max_blocks=8,
+                              greedy=True)
+    toks, nb = _run_tp(mesh, cfg, params, ids, att, bam, "bf16")
+    assert nb == int(ref.n_blocks)
+    np.testing.assert_array_equal(toks, np.asarray(ref.tokens))
+
+
+def test_gspmd_generate_under_mesh_with_constraints():
+    """generate_blocks under an active mesh applies carry constraints and
+    still matches the unsharded run exactly."""
+    cfg, params, ids, att, bam = _setup()
+    ref = gen.generate_blocks(params, cfg, ids, att, bam, max_blocks=8,
+                              greedy=True)
+    mesh = sh.make_mesh(n_data=2, n_model=4)
+    with jax.sharding.set_mesh(mesh):
+        p_sh = jax.tree.map(
+            jax.device_put, params, sh.param_shardings(mesh, params))
+        data_sh = NamedSharding(mesh, P("data"))
+        res = gen.generate_blocks(
+            p_sh, cfg, jax.device_put(ids, data_sh),
+            jax.device_put(att, data_sh), jax.device_put(bam, data_sh),
+            max_blocks=8, greedy=True)
+    np.testing.assert_array_equal(np.asarray(res.tokens),
+                                  np.asarray(ref.tokens))
