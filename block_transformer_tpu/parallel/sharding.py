@@ -7,8 +7,10 @@ TPU-native recipe: annotate shardings, let XLA insert the collectives.
 
 TP layout is the standard Megatron split expressed as PartitionSpecs:
 column-parallel QKV/up (output dim on ``model``), row-parallel out/down
-(input dim on ``model``), vocab-sharded embedding and LM head. The global
-block-level KV cache shards on heads over ``model``.
+(input dim on ``model``), vocab-sharded LM head. Embedding *tables* stay
+replicated (gather locality) — their optimizer state is data-sharded by
+the ZeRO-equivalent partitioning in train/train_step._opt_state_pspecs.
+The global block-level KV cache shards on heads over ``model``.
 """
 
 from __future__ import annotations

@@ -74,7 +74,7 @@ def make_sharded_train_step(mesh, cfg: BlockTransformerConfig, tx,
     """
     train_step = make_train_step(cfg, tx, remat)
     pspecs = sh.param_pspecs(params)
-    opt_pspecs = _opt_state_pspecs(tx, params, pspecs)
+    opt_pspecs = _opt_state_pspecs(tx, params, pspecs, mesh)
     state_spec = TrainState(params=pspecs, opt_state=opt_pspecs, step=P())
     bp = sh.batch_pspec(mesh)
     batch_spec = {k: bp for k in
@@ -93,9 +93,18 @@ def make_sharded_train_step(mesh, cfg: BlockTransformerConfig, tx,
     )
 
 
-def _opt_state_pspecs(tx, params, pspecs):
-    """Partition specs for the optimizer state: any leaf shaped like a
-    parameter gets that parameter's spec; scalars replicate."""
+def _opt_state_pspecs(tx, params, pspecs, mesh=None):
+    """Partition specs for the optimizer state (ZeRO-equivalent).
+
+    A leaf shaped like a parameter inherits that parameter's TP spec; if
+    the parameter is fully **replicated** (no ``model`` axis anywhere —
+    embedding tables, layer norms, biases), its Adam moments are instead
+    sharded over the data axes on the largest divisible dimension — the
+    pjit expression of DeepSpeed ZeRO's optimizer-state partitioning
+    (reference ds_configs/default_linear_warmup.config, SURVEY.md §7.2
+    step 8): XLA reduce-scatters the gradients feeding the update and
+    all-gathers the applied deltas. Scalars replicate.
+    """
     opt_shape = jax.eval_shape(tx.init, params)
     flat_params, treedef_p = jax.tree_util.tree_flatten(params)
     shape_to_spec = {}
@@ -103,10 +112,33 @@ def _opt_state_pspecs(tx, params, pspecs):
                           is_leaf=lambda x: isinstance(x, P))):
         shape_to_spec.setdefault((leaf.shape, leaf.dtype), spec)
 
+    if mesh is not None:
+        data_ax = tuple(a for a in mesh.axis_names if a != "model")
+        n_data = 1
+        for a in data_ax:
+            n_data *= mesh.shape[a]
+        data_name = data_ax[0] if len(data_ax) == 1 else data_ax
+    else:
+        n_data = 1
+        data_name = None
+
+    def zero_shard(shape, spec):
+        """Replicated param -> shard moments over data on one axis."""
+        if any(s is not None for s in spec):
+            return spec                      # TP-sharded already
+        if n_data <= 1 or not shape:
+            return spec
+        for axis, dim in enumerate(shape):
+            if dim % n_data == 0 and dim >= n_data:
+                names = [None] * len(shape)
+                names[axis] = data_name
+                return P(*names)
+        return spec
+
     def spec_for(leaf):
         key = (leaf.shape, leaf.dtype)
         if key in shape_to_spec:
-            return shape_to_spec[key]
+            return zero_shard(leaf.shape, shape_to_spec[key])
         if leaf.shape == ():
             return P()
         # unmatched (e.g. different dtype accumulator): replicate
@@ -121,7 +153,7 @@ def make_sharded_grad_and_apply(mesh, cfg: BlockTransformerConfig, tx,
     per-micro-batch grads+metrics; apply_fn applies the mean grad once."""
     loss_fn = make_loss_fn(cfg, remat)
     pspecs = sh.param_pspecs(params)
-    opt_pspecs = _opt_state_pspecs(tx, params, pspecs)
+    opt_pspecs = _opt_state_pspecs(tx, params, pspecs, mesh)
     state_spec = TrainState(params=pspecs, opt_state=opt_pspecs, step=P())
     bp = sh.batch_pspec(mesh)
     batch_spec = {k: bp for k in
@@ -173,7 +205,7 @@ def create_train_state(key, cfg: BlockTransformerConfig, tx,
 def shard_state(mesh, tx, state: TrainState) -> TrainState:
     """Place params + optimizer state on the mesh per the TP specs."""
     pspecs = sh.param_pspecs(state.params)
-    opt_pspecs = _opt_state_pspecs(tx, state.params, pspecs)
+    opt_pspecs = _opt_state_pspecs(tx, state.params, pspecs, mesh)
 
     def put(tree, spec_tree):
         shardings = jax.tree.map(

@@ -70,8 +70,15 @@ class VanillaTrainer:
             shardings = jax.tree.map(lambda s: NamedSharding(self.mesh, s),
                                      pspecs, is_leaf=lambda x: isinstance(x, P))
             params = jax.tree.map(jax.device_put, params, shardings)
+            from block_transformer_tpu.train.train_step import _opt_state_pspecs
+            opt_sh = jax.tree.map(
+                lambda s: NamedSharding(self.mesh, s),
+                _opt_state_pspecs(self.tx, params, pspecs, self.mesh),
+                is_leaf=lambda x: isinstance(x, P))
+            opt_state = jax.tree.map(jax.device_put, self.tx.init(params),
+                                     opt_sh)
             self.state = TrainState(params=params,
-                                    opt_state=self.tx.init(params),
+                                    opt_state=opt_state,
                                     step=jnp.zeros((), jnp.int32))
             self.grad_fn = jax.jit(grad_step, donate_argnums=(2,))
             self.apply_fn = jax.jit(apply_step, donate_argnums=(0, 1))

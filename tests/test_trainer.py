@@ -105,3 +105,56 @@ def test_trainer_with_zeroshot_eval_hook(tmp_path):
     import json
     recs = [json.loads(l) for l in open(tmp_path / "zeroshot_eval.jsonl")]
     assert recs and "hellaswag/acc" in recs[0]
+
+
+def test_zero_optimizer_state_sharding():
+    """Replicated params (embedding tables, LNs) must carry data-sharded
+    Adam moments (ZeRO-equivalent); TP-sharded params keep their TP specs."""
+    import jax
+    from jax.sharding import PartitionSpec as P
+    from block_transformer_tpu.config import make_block_config
+    from block_transformer_tpu.parallel import sharding as sh
+    from block_transformer_tpu.train import optimizer as opt_mod
+    from block_transformer_tpu.train import train_step as ts
+
+    cfg = make_block_config("zt", block_decoder_hidden=128,
+                            block_decoder_layers=2, max_length=64,
+                            vocab_size=96)
+    mesh = sh.make_mesh(n_data=2, n_model=4)
+    tx, _ = opt_mod.make_optimizer(peak_lr=1e-3, warmup_steps=2,
+                                   total_steps=10)
+    state = ts.create_train_state(jax.random.PRNGKey(0), cfg, tx)
+    pspecs = sh.param_pspecs(state.params)
+    opt_specs = ts._opt_state_pspecs(tx, state.params, pspecs, mesh)
+
+    flat = jax.tree_util.tree_leaves_with_path(
+        opt_specs, is_leaf=lambda x: isinstance(x, P))
+    found_data = found_model = False
+    for path, spec in flat:
+        names = [getattr(k, "key", getattr(k, "name", str(k))) for k in path]
+        if "embed_in" in names and "weight" in names:
+            assert "data" in spec, (names, spec)   # ZeRO moment shard
+            found_data = True
+        if "qkv" in names and "kernel" in names:
+            assert "model" in spec, (names, spec)  # TP spec preserved
+            found_model = True
+    assert found_data and found_model
+
+    # per-device bytes actually drop ~n_data-fold for the embedding moments
+    sharded = ts.shard_state(mesh, tx, state)
+    import numpy as np
+
+    def embed_moment(tree):
+        leaves = jax.tree_util.tree_leaves_with_path(tree)
+        for path, leaf in leaves:
+            names = [getattr(k, "key", getattr(k, "name", str(k)))
+                     for k in path]
+            if "embed_in" in names and "weight" in names and "mu" in str(path):
+                return leaf
+        return None
+
+    mu = embed_moment(sharded.opt_state)
+    assert mu is not None
+    total = mu.size * mu.dtype.itemsize
+    local = mu.addressable_shards[0].data.size * mu.dtype.itemsize
+    assert local * 2 == total, (local, total)  # n_data == 2
