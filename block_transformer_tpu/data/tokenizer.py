@@ -24,7 +24,26 @@ TOKENIZER_PATHS = {
 }
 
 
+class ByteTokenizer:
+    """Byte-level tokenizer for local-corpus runs (build_byte_corpus.py):
+    byte b -> id b + 3 (0 = eos/pad, 1/2 reserved). Implements the encode
+    surface the eval adapters use; decode for generate_until."""
+
+    eos_token_id = 0
+    pad_token_id = 0
+    OFFSET = 3
+
+    def encode(self, s: str):
+        return [min(ord(c), 255) + self.OFFSET for c in s]
+
+    def decode(self, ids):
+        return "".join(chr(max(0, int(t) - self.OFFSET))
+                       for t in ids if t >= self.OFFSET)
+
+
 def load_tokenizer(name: str):
+    if name == "byte":
+        return ByteTokenizer()
     from transformers import AutoTokenizer
     return AutoTokenizer.from_pretrained(TOKENIZER_PATHS[name])
 

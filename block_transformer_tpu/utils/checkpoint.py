@@ -50,6 +50,24 @@ def find_latest_checkpoint(base_dir: str) -> Optional[int]:
     return max(steps) if steps else None
 
 
+def restore_params(base_dir: str, step: int):
+    """Restore only the ``params`` sub-tree of a saved TrainState without
+    knowing the optimizer that produced it: shapes/dtypes come from the
+    checkpoint's own metadata (the multi-checkpoint eval sweep uses this —
+    reference eval_zero_shot_task.py:310-391 reads arbitrary run dirs)."""
+    import orbax.checkpoint as ocp
+    path = _ckpt_dir(base_dir, step)
+    with ocp.StandardCheckpointer() as ck:
+        md = ck.metadata(path).item_metadata
+        tree = md.tree if hasattr(md, "tree") else md
+        abstract = jax.tree.map(
+            lambda m: jax.ShapeDtypeStruct(tuple(m.shape), m.dtype), tree)
+        restored = ck.restore(path, abstract)
+    if isinstance(restored, dict) and "params" in restored:
+        return restored["params"]
+    return restored.params
+
+
 def abstract_like(state):
     return jax.tree.map(
         lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype,
