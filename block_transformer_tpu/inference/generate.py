@@ -66,6 +66,51 @@ def _sample(logits, greedy: bool, temperature: float, key,
     return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
 
 
+def decode_block_tokens_rerun(params, cfg: BlockTransformerConfig,
+                              block_embeddings, *, greedy: bool = True,
+                              temperature: float = 1.0, key=None,
+                              top_k: int = 0, top_p: float = 1.0):
+    """Universal inner loop for every token-decoder family/strategy
+    (GPT-Neo, T5 cross-attention, summation): each step re-runs the
+    teacher-forced forward over the fixed-length adapted input with future
+    slots fed as pad — causal masking makes position ``i``'s logits depend
+    only on tokens <= i, so this is numerically identical to cached
+    stepping at ~L x the compute of a cached inner loop. Blocks are <= a
+    dozen positions, so the overhead is negligible next to the block
+    decoder; the GPT-NeoX prefix family uses the cached fast path in
+    ``decode_block_tokens`` instead. Mirrors the reference's delegation to
+    HF GenerationMixin for these families (token_decoder/base.py:399-453).
+    """
+    from block_transformer_tpu.models import token_decoder as td_mod
+    tcfg = cfg.token_decoder
+    L = cfg.block_length
+    B = block_embeddings.shape[0]
+    eos, pad = cfg.eos_token_id, cfg.pad_token_id
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    ids = jnp.full((B, L + 1), pad, jnp.int32).at[:, 0].set(cfg.bos_token_id)
+    att = jnp.ones((B, L + 1), jnp.int32)
+    tokens = jnp.zeros((B, L), jnp.int32)
+    alive = jnp.ones((B,), bool)
+
+    def body(i, carry):
+        ids, tokens, alive, key = carry
+        key, kk = jax.random.split(key)
+        logits = td_mod.token_decoder_train_forward(
+            params["token_decoder"], tcfg, ids, att, block_embeddings,
+            cfg.expansion_ratio, L)                       # [B, L, V]
+        nxt = _sample(logits[:, i], greedy, temperature, kk, top_k, top_p)
+        emit = jnp.where(alive & (nxt != eos), nxt, pad)
+        alive = alive & (nxt != eos)
+        tokens = tokens.at[:, i].set(emit)
+        ids = ids.at[:, i + 1].set(emit)
+        return ids, tokens, alive, key
+
+    _, tokens, alive, _ = jax.lax.fori_loop(0, L, body,
+                                            (ids, tokens, alive, key))
+    return tokens, alive
+
+
 def decode_block_tokens(params, cfg: BlockTransformerConfig, block_embeddings,
                         *, greedy: bool = True, temperature: float = 1.0,
                         key=None, n_tokens: Optional[int] = None,
@@ -78,6 +123,11 @@ def decode_block_tokens(params, cfg: BlockTransformerConfig, block_embeddings,
     reference's per-block ``past_key_values`` (SURVEY.md §3.2).
     """
     tcfg = cfg.token_decoder
+    if tcfg.cls != "gpt-neo-x" or tcfg.decoding_strategy != "prefix":
+        assert n_tokens is None
+        return decode_block_tokens_rerun(
+            params, cfg, block_embeddings, greedy=greedy,
+            temperature=temperature, key=key, top_k=top_k, top_p=top_p)
     L = cfg.block_length if n_tokens is None else n_tokens
     n_exp = cfg.n_expanded_emb
     B = block_embeddings.shape[0]
@@ -171,6 +221,15 @@ def _block_decoder_step(params, cfg: BlockTransformerConfig, inputs_embeds,
         kv_valid, new_valid.astype(kv_valid.dtype), (0, cache.length))
     mask = masks.block_decode_mask(cache.length, capacity, S, kv_valid, n)
     positions = cache.length + jnp.arange(S, dtype=jnp.int32)
+    if cfg.block_decoder_cls == "gpt-neo":
+        from block_transformer_tpu.models import block_decoder as bd_mod
+        from block_transformer_tpu.models import gpt_neo as gn
+        gcfg = bd_mod._gpt_neo_cfg(cfg.block_decoder, cfg.block_decoder_window)
+        x = inputs_embeds + params["block_decoder"]["wpe"]["weight"][
+            positions][None].astype(inputs_embeds.dtype)
+        hidden, cache = gn.gpt_neo_stack_cached(
+            params["block_decoder"], gcfg, x, mask, positions, cache)
+        return hidden, cache, kv_valid
     hidden, cache = neox.neox_stack(params["block_decoder"], inputs_embeds,
                                     cfg=cfg.block_decoder, mask=mask,
                                     positions=positions, cache=cache)
@@ -194,15 +253,10 @@ def generate_blocks(params, cfg: BlockTransformerConfig, input_ids,
     B, N, L = input_ids.shape
     n = cfg.n_embedding_tokens
     ph = cfg.embedder.projection_hidden_size
-    if cfg.token_decoder.cls != "gpt-neo-x" or cfg.block_decoder_cls != "gpt-neo-x":
-        # decode-time cache stepping is implemented for the GPT-NeoX family
-        # (every main/released config); T5/GPT-Neo decoders are train/eval
-        # paths this round (like the reference, generation beyond the main
-        # family is ablation-only)
+    if cfg.block_decoder_cls == "gpt-neo" and kv_cache == "int8":
         raise NotImplementedError(
-            "generation currently supports gpt-neo-x block/token decoders; "
-            f"got block={cfg.block_decoder_cls!r}, "
-            f"token={cfg.token_decoder.cls!r}")
+            "int8 global KV with the gpt-neo block decoder is not wired; "
+            "use kv_cache='bf16' for the ablation family")
     if key is None:
         key = jax.random.PRNGKey(0)
     # round capacity to a lane multiple so the fused decode-attention

@@ -149,6 +149,62 @@ def gpt_neo_forward(params, cfg: GPTNeoConfig, input_ids, attention_mask=None):
                       params["wte"]["weight"].astype(jnp.float32))
 
 
+def gpt_neo_stack_cached(params, cfg: GPTNeoConfig, x,
+                         mask: masks_lib.AttnMask, positions, cache):
+    """Cached decode stack (neox-style carried cache, no RoPE — learned
+    positions are already in ``x``). cache: models/neox.KVCache with
+    capacity K; mask index vectors span the capacity. Local layers XOR the
+    causal band exactly as the uncached stack."""
+    from block_transformer_tpu.models import neox
+    B, S, _ = x.shape
+    H = cfg.num_heads
+    D = cfg.hidden_size // H
+    base_ok = mask.allowed()
+    q_idx = mask.q_idx if mask.q_idx.ndim == 2 else mask.q_idx[None]
+    local_ok = base_ok & _local_band_ok(q_idx, mask.kv_idx, cfg.window_size)
+    bias_global = jnp.where(base_ok, 0.0, -1e30)[:, None].astype(jnp.float32)
+    bias_local = jnp.where(local_ok, 0.0, -1e30)[:, None].astype(jnp.float32)
+    is_local = jnp.asarray([t == "local" for t in cfg.layer_types()],
+                           jnp.bool_)
+    layers = params["layers"]
+
+    def body(carry, layer_in):
+        h, ck, cv = carry
+        i, loc = layer_in
+        p = neox.layer_view(layers, i)
+        a_in = layer_norm(h, p["ln1"], cfg.layer_norm_eps)
+
+        def proj(name):
+            y = linear_ops.apply_linear(a_in, p["attn"][name])
+            return y.reshape(B, S, H, D).transpose(0, 2, 1, 3)
+
+        q, k, v = proj("q"), proj("k"), proj("v")
+        ck = neox._write_kv(ck, k, i, cache.length)
+        cv = neox._write_kv(cv, v, i, cache.length)
+        k_all = jax.lax.dynamic_index_in_dim(ck, i, 0, keepdims=False)
+        v_all = jax.lax.dynamic_index_in_dim(cv, i, 0, keepdims=False)
+        scores = jnp.einsum("bhqd,bhkd->bhqk", q.astype(jnp.float32),
+                            k_all.astype(jnp.float32))   # UNSCALED (GPT-Neo)
+        bias = jnp.where(loc, bias_local, bias_global)
+        probs = jax.nn.softmax(scores + bias, axis=-1).astype(h.dtype)
+        ctx = jnp.einsum("bhqk,bhkd->bhqd", probs, v_all.astype(h.dtype),
+                         preferred_element_type=jnp.float32).astype(h.dtype)
+        ctx = ctx.transpose(0, 2, 1, 3).reshape(B, S, H * D)
+        h = h + linear_ops.apply_linear(ctx, p["attn"]["out"])
+        m_in = layer_norm(h, p["ln2"], cfg.layer_norm_eps)
+        mlp = linear_ops.apply_linear(
+            jax.nn.gelu(linear_ops.apply_linear(m_in, p["mlp"]["up"]),
+                        approximate=True), p["mlp"]["down"])
+        return (h + mlp, ck, cv), None
+
+    idx = jnp.arange(cfg.num_layers, dtype=jnp.int32)
+    (h, nk, nv), _ = jax.lax.scan(body, (x, cache.k, cache.v),
+                                  (idx, is_local))
+    from block_transformer_tpu.models.neox import KVCache
+    new_cache = KVCache(nk, nv, cache.length + S)
+    return layer_norm(h, params["final_ln"], cfg.layer_norm_eps), new_cache
+
+
 # ---------------------------------------------------------------------------
 # Block/token decoder variants
 # ---------------------------------------------------------------------------
