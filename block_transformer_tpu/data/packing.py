@@ -143,10 +143,35 @@ def add_labels(input_ids, attention_mask):
     return np.where(attention_mask == 0, -100, input_ids)
 
 
-def make_train_batch(ds: PackedDataset, idxs, block_length: int):
-    """Fetch + blockify + label one training batch (numpy, host-side)."""
-    b = ds.get_batch(np.asarray(idxs))
+def make_train_batch(ds: PackedDataset, idxs, block_length: int,
+                     distribution=None):
+    """Fetch + blockify + label one training batch (numpy, host-side).
+
+    ``distribution``: optional data.block_split.BlockLengthDistribution —
+    variable block lengths (util/data_preprocessing.py:123-154): each
+    sample is split at per-sample seeded boundaries and right-padded to
+    the distribution max. ``n_blocks = ceil(max_length / mean)`` is the
+    same for every sample (the adjust loop fixes the total), so batch
+    shapes stay static for jit.
+    """
+    idxs = np.asarray(idxs)
+    b = ds.get_batch(idxs)
     labels = add_labels(b["input_ids"], b["attention_mask"])
+    if distribution is not None and getattr(distribution, "length", None) is None:
+        from block_transformer_tpu.data.block_split import split_blocks_variable
+        outs = [split_blocks_variable(
+            {"input_ids": b["input_ids"][i], "attention_mask":
+             b["attention_mask"][i], "labels": labels[i],
+             "index": int(idxs[i])}, distribution, ds.pad_token)
+            for i in range(len(idxs))]
+        return {
+            "input_ids": np.stack([o["input_ids"] for o in outs]).astype(np.int32),
+            "attention_mask": np.stack([o["attention_mask"] for o in outs]
+                                       ).astype(np.int32),
+            "block_attention_mask": np.stack(
+                [o["block_attention_mask"] for o in outs]).astype(np.int32),
+            "labels": np.stack([o["labels"] for o in outs]).astype(np.int32),
+        }
     sb = split_blocks(b["input_ids"], b["attention_mask"], block_length)
     N, L = sb["input_ids"].shape[-2:]
     return {

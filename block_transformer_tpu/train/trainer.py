@@ -62,6 +62,11 @@ class TrainerConfig:
     remat: bool = True
     n_data: Optional[int] = None
     n_model: Optional[int] = None
+    # variable block lengths (util/data_preprocessing.py:123-154): e.g.
+    # "uniform" with {"mean": 4, "radius": 3}; None/"fixed" = reshape path.
+    # The model's block_length must equal the distribution max.
+    block_split_distribution: Optional[str] = None
+    block_split_kwargs: Optional[dict] = None
 
 
 class Trainer:
@@ -101,6 +106,18 @@ class Trainer:
         # fp64 loss-by-position accumulator (reference semantics)
         self._lbp_sum = None
         self._lbp_count = 0
+
+        self._distribution = None
+        if tcfg.block_split_distribution not in (None, "fixed"):
+            from block_transformer_tpu.data import block_split as bs
+            dist_cls = bs.DISTRIBUTIONS[tcfg.block_split_distribution]
+            self._distribution = dist_cls(**(tcfg.block_split_kwargs or {}),
+                                          seed=tcfg.seed)
+            if self._distribution.max != model_cfg.block_length:
+                raise ValueError(
+                    f"block_split distribution max {self._distribution.max} "
+                    f"!= model block_length {model_cfg.block_length} (blocks "
+                    f"are padded to the distribution max)")
 
     # ------------------------------------------------------------------
     def _effective_accum(self, step: int) -> int:
@@ -149,7 +166,8 @@ class Trainer:
                             % len(self.dataset))
                     cursor += self.micro_batch
                     np_batch = make_train_batch(self.dataset, idxs,
-                                                self.model_cfg.block_length)
+                                                self.model_cfg.block_length,
+                                                distribution=self._distribution)
                     batch = {k: jax.device_put(v, batch_sharding)
                              for k, v in np_batch.items()}
                     grads, metrics = self.grad_fn(self.state.params, batch,

@@ -158,3 +158,59 @@ def test_zero_optimizer_state_sharding():
     total = mu.size * mu.dtype.itemsize
     local = mu.addressable_shards[0].data.size * mu.dtype.itemsize
     assert local * 2 == total, (local, total)  # n_data == 2
+
+
+def test_trainer_variable_block_lengths():
+    """Uniform block-length distribution trains end-to-end (VERDICT round-1
+    weak item 7): blocks are split at per-sample seeded boundaries, padded
+    to the distribution max, and batch shapes stay static."""
+    import numpy as np
+    import jax
+    from block_transformer_tpu.config import (BlockTransformerConfig,
+                                              EmbedderConfig, NeoXConfig,
+                                              TokenDecoderConfig)
+    from block_transformer_tpu.data.packing import (PackedDataset,
+                                                    TokenizedCorpus,
+                                                    make_train_batch)
+    from block_transformer_tpu.data.block_split import UniformDistribution
+    from block_transformer_tpu.train.trainer import Trainer, TrainerConfig
+
+    L = 5  # distribution max for mean 3, radius 2
+    emb = EmbedderConfig(vocab_size=96, hidden_size=32,
+                         projection_method="projection_layer",
+                         projection_hidden_size=64)
+    neox = NeoXConfig(vocab_size=96, hidden_size=64, num_layers=2,
+                      num_heads=4, intermediate_size=256,
+                      max_position_embeddings=64)
+    cfg = BlockTransformerConfig(block_length=L, embedder=emb,
+                                 block_decoder=neox,
+                                 token_decoder=TokenDecoderConfig(
+                                     neox=neox, expansion_ratio=1))
+    rng = np.random.default_rng(0)
+    docs = [rng.integers(2, 96, size=rng.integers(20, 60)) for _ in range(64)]
+    lengths = np.array([len(d) for d in docs], np.int64)
+    starts = np.concatenate([[0], np.cumsum(lengths)[:-1]])
+    corpus = TokenizedCorpus(np.concatenate(docs), lengths, starts)
+    ds = PackedDataset(corpus, 30, eos_token=0, pad_token=0, block_length=L,
+                       random_pad_first_block=False,
+                       pad_to_block_boundary=True, seed=0)
+
+    # batch shapes: N = ceil(30 / mean 3) = 10 blocks of width 5
+    dist = UniformDistribution(mean=3, radius=2, seed=0)
+    b = make_train_batch(ds, np.arange(4), L, distribution=dist)
+    assert b["input_ids"].shape == (4, 10, 5)
+    # reassembling the unpadded tokens must give back the flat sample
+    flat = ds.get_batch(np.arange(4))["input_ids"]
+    for i in range(4):
+        got = b["input_ids"][i][b["attention_mask"][i] != 0]
+        want = flat[i][ds.get_batch(np.arange(4))["attention_mask"][i] != 0]
+        np.testing.assert_array_equal(got, want)
+
+    tcfg = TrainerConfig(output_dir="/tmp/bt_vartest", learning_rate=1e-3,
+                         num_train_steps=3, total_batch_size=4, max_length=30,
+                         save_steps=100, logging_steps=1,
+                         block_split_distribution="uniform",
+                         block_split_kwargs={"mean": 3, "radius": 2})
+    trainer = Trainer(cfg, tcfg, ds)
+    state = trainer.train()
+    assert int(state.step) == 3
