@@ -32,9 +32,16 @@ def vanilla_forward(params, cfg: NeoXConfig, input_ids, attention_mask=None,
     return neox.lm_logits(params, hidden)
 
 
-def vanilla_loss(params, cfg: NeoXConfig, input_ids, attention_mask, labels):
-    """Standard shifted CE (labels -100 ignored). Returns scalar fp32."""
-    logits = vanilla_forward(params, cfg, input_ids, attention_mask)
+def vanilla_loss(params, cfg: NeoXConfig, input_ids, attention_mask, labels,
+                 remat: bool = False):
+    """Standard shifted CE (labels -100 ignored). Returns scalar fp32.
+
+    ``remat=True`` checkpoints each layer so the backward pass recomputes
+    attention instead of storing per-layer [B, H, S, S] probabilities
+    (without it a 31M model at batch 64 x 1024 needs 26 GB of residuals).
+    """
+    logits = vanilla_forward(params, cfg, input_ids, attention_mask,
+                             remat=remat)
     lg = logits[:, :-1].astype(jnp.float32)
     tgt = labels[:, 1:]
     w = (tgt != -100).astype(jnp.float32)

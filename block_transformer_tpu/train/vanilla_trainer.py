@@ -47,7 +47,8 @@ class VanillaTrainer:
 
         def loss_fn(params, batch):
             return vmod.vanilla_loss(params, cfg, batch["input_ids"],
-                                     batch["attention_mask"], batch["labels"])
+                                     batch["attention_mask"], batch["labels"],
+                                     remat=remat)
 
         def grad_step(params, batch, grads_acc):
             loss, grads = jax.value_and_grad(loss_fn)(params, batch)

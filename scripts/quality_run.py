@@ -103,6 +103,9 @@ def train_vanilla(args, vcfg):
                          num_train_steps=args.steps,
                          num_warmup_steps=max(100, args.steps // 20),
                          total_batch_size=args.batch,
+                         # full-sequence attention residuals are [b,H,S,S]:
+                         # keep the vanilla micro batch small (grad accum)
+                         micro_batch_size=min(16, args.batch),
                          max_length=args.max_length,
                          save_steps=max(1, args.steps // 2),
                          logging_steps=25, param_dtype="float32")
