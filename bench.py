@@ -66,13 +66,82 @@ def bench_block(model_name: str, batch, prefill: int, decode: int,
         return res
 
     run()  # warmup + compile
-    n_rep = 3
-    t0 = time.perf_counter()
+    n_rep = int(os.environ.get("BT_BENCH_REPS", "5"))
+    times = []
     for _ in range(n_rep):
+        t0 = time.perf_counter()
         run()
-    dt = (time.perf_counter() - t0) / n_rep
+        times.append(time.perf_counter() - t0)
+    dt = float(np.mean(times))
+    detail = {
+        "mean_s": dt, "std_s": float(np.std(times)), "reps": n_rep,
+        "ms_per_sample": 1e3 * dt / batch,
+        "ms_per_token": 1e3 * dt / (batch * decode),
+        "times_s": [round(t, 4) for t in times],
+    }
+    detail.update(_two_level_decomposition(params, cfg, batch, prefill,
+                                           decode, dtype, kv_cache))
     decode_tokens = batch * decode
-    return decode_tokens / dt, batch
+    return decode_tokens / dt, batch, detail
+
+
+def _two_level_decomposition(params, cfg, batch, prefill, decode, dtype,
+                             kv_cache, iters: int = 32):
+    """Block-decoder vs token-decoder time at the decode operating point
+    (reference: model/block_transformer.py:345-353 benchmark=True timing).
+    Each stage loops ``iters`` times inside one jit with a data dependence
+    so dispatch/LICM can't hollow it out."""
+    import jax
+    import jax.numpy as jnp
+    from block_transformer_tpu.inference import generate as gen
+    from block_transformer_tpu.models import neox
+    from block_transformer_tpu.ops import masks
+
+    n = cfg.n_embedding_tokens
+    ph = cfg.embedder.projection_hidden_size
+    slots = (prefill + decode) // cfg.block_length * n
+    capacity = -(-slots // 128) * 128
+    cache_cls = neox.QuantKVCache if kv_cache == "int8" else neox.KVCache
+    cache = cache_cls.create(cfg.block_decoder, batch, capacity, dtype=dtype)
+    cache = cache._replace(length=jnp.int32(prefill // cfg.block_length * n))
+    kv_valid = jnp.asarray(
+        np.arange(capacity)[None] < prefill // cfg.block_length * n,
+        jnp.int32).repeat(batch, 0)
+    be = jnp.zeros((batch, n, ph), dtype)
+
+    @jax.jit
+    def token_stage(be):
+        def body(i, carry):
+            be, acc = carry
+            toks, _ = gen.decode_block_tokens(params, cfg,
+                                              be + acc * 1e-9, greedy=True)
+            return be, acc + jnp.sum(toks)
+        _, acc = jax.lax.fori_loop(0, iters, body, (be, jnp.int32(0)))
+        return acc
+
+    @jax.jit
+    def block_stage(be, cache, kv_valid):
+        def body(i, carry):
+            be, cache, kv_valid = carry
+            h, cache, kv_valid = gen._block_decoder_step(
+                params, cfg, be, cache, kv_valid,
+                jnp.ones((batch, n), jnp.int32))
+            cache = cache._replace(length=cache.length - n)  # stay in place
+            return h[:, -n:, :].astype(be.dtype), cache, kv_valid
+        be, cache, kv_valid = jax.lax.fori_loop(0, iters, body,
+                                                (be, cache, kv_valid))
+        return be
+
+    out = {}
+    for name, fn, args in (("token_decoder", token_stage, (be,)),
+                           ("block_decoder", block_stage,
+                            (be, cache, kv_valid))):
+        jax.block_until_ready(fn(*args))
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn(*args))
+        per = (time.perf_counter() - t0) / iters
+        out[f"{name}_ms_per_block_step"] = 1e3 * per
+    return out
 
 
 def bench_vanilla(name: str, batch, prefill: int, decode: int,
@@ -118,12 +187,60 @@ def bench_vanilla(name: str, batch, prefill: int, decode: int,
         jax.block_until_ready(full_generate(params, ids))
 
     run()
-    n_rep = 3
-    t0 = time.perf_counter()
+    n_rep = int(os.environ.get("BT_BENCH_REPS", "5"))
+    times = []
     for _ in range(n_rep):
+        t0 = time.perf_counter()
         run()
-    dt = (time.perf_counter() - t0) / n_rep
-    return batch * decode / dt, batch
+        times.append(time.perf_counter() - t0)
+    dt = float(np.mean(times))
+    detail = {"mean_s": dt, "std_s": float(np.std(times)), "reps": n_rep,
+              "ms_per_sample": 1e3 * dt / batch,
+              "ms_per_token": 1e3 * dt / (batch * decode)}
+    return batch * decode / dt, batch, detail
+
+
+def bench_engine(model_name: str, n_slots: int, prefill: int, decode: int,
+                 dtype_str: str = "bfloat16", quantize: str = None,
+                 kv_cache: str = "int8"):
+    """Continuous-batching engine throughput: n_slots concurrent prompts,
+    steady-state decode tok/s (target >= 80% of static-batch
+    generate_blocks at the same batch)."""
+    import jax
+    import jax.numpy as jnp
+    from block_transformer_tpu.config import get_config
+    from block_transformer_tpu.models import block_transformer as bt
+    from block_transformer_tpu.inference.engine import ContinuousBatchingEngine
+
+    dtype = jnp.bfloat16 if dtype_str == "bfloat16" else jnp.float32
+    cfg = get_config(model_name)
+    params = jax.jit(lambda k: bt.init_block_transformer_params(
+        k, cfg, dtype=dtype))(jax.random.PRNGKey(0))
+    if quantize and quantize != "none":
+        from block_transformer_tpu.ops import quant
+        params = jax.jit(lambda p: quant.quantize_block_transformer(
+            p, bits=8 if quantize == "int8" else 4))(params)
+    L = cfg.block_length
+    max_blocks = (prefill + decode) // L + 2
+    eng = ContinuousBatchingEngine(params, cfg, n_slots=n_slots,
+                                   max_blocks=max_blocks, kv_cache=kv_cache,
+                                   bucket_blocks=prefill // L)
+    rng = np.random.default_rng(0)
+
+    def submit_all():
+        for _ in range(n_slots):
+            eng.submit(rng.integers(1, 50254, size=prefill), decode)
+
+    submit_all()
+    eng.run()                               # warmup: compiles prefill+decode
+    tokens0 = eng.stats.tokens_generated
+    submit_all()
+    t0 = time.perf_counter()
+    eng.run()
+    dt = time.perf_counter() - t0
+    produced = eng.stats.tokens_generated - tokens0
+    return produced / dt, {"engine_tokens": produced, "engine_time_s": dt,
+                           "n_slots": n_slots}
 
 
 def main():
@@ -143,20 +260,50 @@ def main():
                     "point: int8 weights + int8 KV)")
     ap.add_argument("--kv", choices=["bf16", "int8"], default="int8",
                     help="global block-level KV cache dtype")
+    ap.add_argument("--engine", action="store_true",
+                    help="also benchmark the continuous-batching engine")
+    ap.add_argument("--engine_slots", type=int, default=16)
+    ap.add_argument("--detail_out", default="BENCH_DETAIL.json")
     args = ap.parse_args()
 
+    import sys
+
     _enable_compile_cache()
-    block_tps, block_batch = bench_block(args.model, args.batch, args.prefill,
-                                         args.decode, args.dtype,
-                                         args.quantize, args.kv)
-    print(f"[bench] block: {block_tps:.1f} tok/s at b{block_batch}",
-          file=__import__("sys").stderr, flush=True)
+    block_tps, block_batch, block_detail = bench_block(
+        args.model, args.batch, args.prefill, args.decode, args.dtype,
+        args.quantize, args.kv)
+    print(f"[bench] block: {block_tps:.1f} tok/s at b{block_batch} "
+          f"(std {block_detail['std_s']:.3f}s over {block_detail['reps']}; "
+          f"{block_detail['ms_per_token']:.4f} ms/tok; decomposition: "
+          f"block {block_detail.get('block_decoder_ms_per_block_step', 0):.2f} "
+          f"/ token {block_detail.get('token_decoder_ms_per_block_step', 0):.2f}"
+          f" ms per block step)", file=sys.stderr, flush=True)
     import gc
     gc.collect()
-    vanilla_tps, vanilla_batch = bench_vanilla(args.vanilla, args.batch,
-                                               args.prefill, args.decode,
-                                               args.dtype)
+
+    engine_detail = {}
+    if args.engine:
+        engine_tps, engine_detail = bench_engine(
+            args.model, args.engine_slots, args.prefill, args.decode,
+            args.dtype, args.quantize, args.kv)
+        engine_detail["engine_tok_per_s"] = engine_tps
+        print(f"[bench] engine: {engine_tps:.1f} tok/s at {args.engine_slots} "
+              f"slots", file=sys.stderr, flush=True)
+        gc.collect()
+
+    vanilla_tps, vanilla_batch, van_detail = bench_vanilla(
+        args.vanilla, args.batch, args.prefill, args.decode, args.dtype)
     ratio = block_tps / vanilla_tps if vanilla_tps > 0 else 0.0
+    with open(args.detail_out, "w") as f:
+        json.dump({"block": block_detail, "vanilla": van_detail,
+                   "engine": engine_detail,
+                   "block_tok_per_s": block_tps,
+                   "vanilla_tok_per_s": vanilla_tps,
+                   "block_batch": block_batch,
+                   "vanilla_batch": vanilla_batch,
+                   "regime": {"prefill": args.prefill, "decode": args.decode,
+                              "quantize": args.quantize, "kv": args.kv}},
+                  f, indent=2)
     print(json.dumps({
         "metric": f"decode_tokens_per_sec[{args.model}"
                   f"{'-' + args.quantize if args.quantize and args.quantize != 'none' else ''}"
