@@ -106,28 +106,55 @@ def _logsumexp(x):
 
 
 class _GenerateMixin:
-    """generate_until for adapters that own block-transformer params."""
+    """generate_until for adapters that own block-transformer params.
+
+    Requests are grouped into (context-length bucket, max_new) batches and
+    generated together: shorter contexts left-pad with attention-0 pad
+    blocks, which the block decoder masks out — one jitted two-level
+    generation per batch instead of per request (the round-1 serial path
+    was unusable for a real triviaqa run)."""
 
     def generate_until(self, requests):
         from block_transformer_tpu.inference import generate as gen
-        out = []
-        for context, kw in requests:
+        out: List = [None] * len(requests)
+        parsed = []
+        for i, (context, kw) in enumerate(requests):
             until = kw.get("until") or []
             max_new = int(kw.get("max_gen_toks", 64))
             ctx = self.tok_encode(context)[-(self.max_length - max_new):]
-            ids = np.asarray(ctx, np.int32)[None]
+            parsed.append((i, ctx, until, max_new))
+
+        def bucket_key(p):
+            return (_bucket(len(p[1]), step=self.cfg.block_length * 16,
+                            lo=self.cfg.block_length * 4), p[3])
+
+        parsed.sort(key=lambda p: (bucket_key(p), -len(p[1])))
+        b = 0
+        while b < len(parsed):
+            key = bucket_key(parsed[b])
+            chunk = [p for p in parsed[b:b + self.batch_size]
+                     if bucket_key(p) == key]
+            b += len(chunk)
+            Tb, max_new = key
+            ids = np.full((len(chunk), Tb), self.cfg.pad_token_id, np.int32)
+            for r, (_, ctx, _, _) in enumerate(chunk):
+                ids[r, Tb - len(ctx):] = ctx     # right-align; left pads
+            att = np.zeros_like(ids)
+            for r, (_, ctx, _, _) in enumerate(chunk):
+                att[r, Tb - len(ctx):] = 1
             res = gen.generate(self.params, self.cfg, ids,
-                               max_length=len(ctx) + max_new)
-            new = res[0, len(ctx):].tolist()
-            # cut at EOS
-            if self.eot_token_id in new:
-                new = new[:new.index(self.eot_token_id)]
-            text = self.tokenizer.decode(new)
-            for stop in until:
-                idx = text.find(stop)
-                if idx >= 0:
-                    text = text[:idx]
-            out.append(text)
+                               attention_mask=att,
+                               max_length=Tb + max_new)
+            for r, (i, ctx, until, _) in enumerate(chunk):
+                new = res[r, Tb:].tolist()
+                if self.eot_token_id in new:
+                    new = new[:new.index(self.eot_token_id)]
+                text = self.tokenizer.decode(new)
+                for stop in until:
+                    idx = text.find(stop)
+                    if idx >= 0:
+                        text = text[:idx]
+                out[i] = text
         return out
 
 

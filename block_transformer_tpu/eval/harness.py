@@ -56,11 +56,11 @@ class LM:
         lm_eval ``get_rolling_token_windows(context_len=1)`` semantics: the
         first window predicts up to ``max_length`` tokens conditioned on the
         EOT prefix; later windows predict ``max_length - 1`` tokens
-        conditioned on the single preceding token)."""
-        out = []
-        for text in texts:
+        conditioned on the single preceding token). Windows from EVERY doc
+        are flattened into one length-sorted batched scoring pass."""
+        reqs, owner = [], []
+        for d, text in enumerate(texts):
             toks = self.tok_encode(text)
-            reqs = []
             i = 0
             while i < len(toks):
                 if i == 0:
@@ -70,9 +70,12 @@ class LM:
                     pred = toks[i:i + self.max_length - 1]
                     ctx = [toks[i - 1]]
                 reqs.append((ctx, pred))
+                owner.append(d)
                 i += len(pred)
-            scores = self._loglikelihood_tokens(reqs)
-            out.append(sum(s for s, _ in scores))
+        scores = self._loglikelihood_tokens(reqs)
+        out = [0.0] * len(texts)
+        for d, (s, _) in zip(owner, scores):
+            out[d] += s
         return out
 
     def _loglikelihood_tokens(self, requests

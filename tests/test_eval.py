@@ -248,3 +248,25 @@ def test_fewshot_sampler():
     # two exemplars with their gold answers, then the query
     assert ctx.count(" good") == 2
     assert ctx.endswith(task.doc_to_text(docs[0]))
+
+
+def test_batched_generate_until_matches_serial():
+    """Batched (bucketed, left-padded) generate_until == one-by-one greedy."""
+    from block_transformer_tpu.inference import generate as gen
+    cfg = make_cfg()
+    params = bt.init_block_transformer_params(jax.random.PRNGKey(2), cfg)
+    lm = adapters.BlockTransformerLM(params, cfg, CharTokenizer(),
+                                     max_length=64, batch_size=4)
+    lm.tokenizer.decode = lambda ids: "".join(chr(65 + (i % 26)) for i in ids)
+    ctxs = ["hello world", "a", "some longer context here!", "mid ctx"]
+    reqs = [(c, {"until": [], "max_gen_toks": 8}) for c in ctxs]
+    got = lm.generate_until(reqs)
+
+    for c, g in zip(ctxs, got):
+        toks = lm.tok_encode(c)
+        res = gen.generate(params, cfg, np.asarray(toks, np.int32)[None],
+                           max_length=len(toks) + 8)
+        new = res[0, len(toks):].tolist()
+        if lm.eot_token_id in new:
+            new = new[:new.index(lm.eot_token_id)]
+        assert g == lm.tokenizer.decode(new), (c, g)
