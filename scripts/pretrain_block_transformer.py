@@ -32,13 +32,17 @@ def _maybe_force_cpu():
 _maybe_force_cpu()
 
 
-def build_dataset(args, block_length: int, max_length: int, vocab: int):
+def build_dataset(args, block_length: int, max_length: int, vocab: int,
+                  yaml_dict=None):
     from block_transformer_tpu.data.packing import PackedDataset, TokenizedCorpus
     if args.pile:
-        from block_transformer_tpu.data.mmap_dataset import MMapIndexedDataset
-        mm = MMapIndexedDataset(args.pile)
-        data, lengths, starts = mm.token_view()
-        corpus = TokenizedCorpus(data, lengths, starts)
+        from block_transformer_tpu.data import dispatch
+        corpus = dispatch.load_corpus(args.pile)
+    elif yaml_dict is not None and yaml_dict.get("dataset") and \
+            not args.synthetic:
+        # config-driven dispatch (dataset: pythia_pile / t5_pile / hf name)
+        from block_transformer_tpu.data import dispatch
+        corpus = dispatch.load_corpus_from_yaml(yaml_dict)
     else:
         rng = np.random.default_rng(0)
         n = args.synthetic
@@ -78,8 +82,12 @@ def main():
     from block_transformer_tpu.config import get_config
     from block_transformer_tpu.train.trainer import Trainer, TrainerConfig
 
+    yaml_dict = None
     if args.config:
         from block_transformer_tpu import config_yaml
+        import yaml as _yaml
+        with open(args.config) as f:
+            yaml_dict = _yaml.safe_load(f)
         cfg = config_yaml.load_block_config_yaml(args.config)
         tkw = config_yaml.load_trainer_kwargs_yaml(args.config)
     elif args.model:
@@ -100,7 +108,8 @@ def main():
         tkw.pop("micro_batch_size", None)
     tcfg = TrainerConfig(**tkw)
 
-    ds = build_dataset(args, cfg.block_length, tcfg.max_length, cfg.vocab_size)
+    ds = build_dataset(args, cfg.block_length, tcfg.max_length,
+                       cfg.vocab_size, yaml_dict=yaml_dict)
     trainer = Trainer(cfg, tcfg, ds)
 
     if args.from_vanilla:
