@@ -240,7 +240,8 @@ def bench_engine(model_name: str, n_slots: int, prefill: int, decode: int,
     dt = time.perf_counter() - t0
     produced = eng.stats.tokens_generated - tokens0
     return produced / dt, {"engine_tokens": produced, "engine_time_s": dt,
-                           "n_slots": n_slots}
+                           "n_slots": n_slots,
+                           "tokens_wasted": eng.stats.tokens_wasted}
 
 
 def main():

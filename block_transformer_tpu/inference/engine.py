@@ -67,6 +67,9 @@ class EngineStats:
     tokens_generated: int = 0
     prompts_admitted: int = 0
     prompts_finished: int = 0
+    # block-synchronous overhead: positions decoded past a request's EOS /
+    # max_new_tokens inside its final block (paid but not emitted)
+    tokens_wasted: int = 0
 
 
 def _round_up(x, m):
@@ -296,6 +299,7 @@ class ContinuousBatchingEngine:
                 emit.append(t)
             req.generated.extend(emit)
             self.stats.tokens_generated += len(emit)
+            self.stats.tokens_wasted += len(block) - len(emit)
             if req.stream:
                 req.stream(req.uid, emit)
             if has_eos[s] or len(req.generated) >= req.max_new_tokens:
