@@ -49,6 +49,17 @@ def _round_up(x, m):
     return _cdiv(x, m) * m
 
 
+def _snap_tile(want: int, dim: int, unit: int = 128) -> int:
+    """Largest lane-aligned tile <= want that divides dim (dim must be a
+    multiple of ``unit``; weights can't be padded in the stacked form)."""
+    assert dim % unit == 0, (dim, unit)
+    t = min(want, dim)
+    t = (t // unit) * unit
+    while dim % t:
+        t -= unit
+    return t
+
+
 # ---------------------------------------------------------------------------
 # INT8
 # ---------------------------------------------------------------------------
@@ -81,15 +92,13 @@ def int8_matmul_stacked(x, w_q, scale, layer, *, bm: int = 256,
     assert K == K2 and scale.shape == (L, N), (x.shape, w_q.shape, scale.shape)
 
     bm = min(bm, _round_up(M, 8))
-    bn = min(bn, _round_up(N, 128))
-    bk = min(bk, _round_up(K, 128))
-    Mp, Np, Kp = _round_up(M, bm), _round_up(N, bn), _round_up(K, bk)
-    if (Mp, Kp) != (M, K):
-        x = jnp.pad(x, ((0, Mp - M), (0, Kp - K)))
-    assert (Kp, Np) == (K, N), \
-        f"stacked weights must be padded offline: K{K}->{Kp} N{N}->{Np}"
+    bn = _snap_tile(bn, N)
+    bk = _snap_tile(bk, K)
+    Mp = _round_up(M, bm)
+    if Mp != M:
+        x = jnp.pad(x, ((0, Mp - M), (0, 0)))
 
-    grid = (Mp // bm, Np // bn, Kp // bk)
+    grid = (Mp // bm, N // bn, K // bk)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=grid,
@@ -108,12 +117,12 @@ def int8_matmul_stacked(x, w_q, scale, layer, *, bm: int = 256,
     out = pl.pallas_call(
         _int8_kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((Mp, Np), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((Mp, N), x.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary")),
         cost_estimate=pl.CostEstimate(
-            flops=2 * Mp * Np * Kp,
-            bytes_accessed=Mp * Kp * x.dtype.itemsize + Kp * Np + Mp * Np * 2,
+            flops=2 * Mp * N * K,
+            bytes_accessed=Mp * K * x.dtype.itemsize + K * N + Mp * N * 2,
             transcendentals=0),
         interpret=interpret,
     )(jnp.asarray(layer, jnp.int32).reshape(1),
@@ -176,16 +185,14 @@ def int4_matmul_stacked(x, w_p, scale, layer, *, bm: int = 256,
     assert K == 2 * Kh and scale.shape == (L, N)
 
     bm = min(bm, _round_up(M, 8))
-    bn = min(bn, _round_up(N, 128))
-    bk = min(bk, _round_up(Kh, 128))
-    Mp, Np, Khp = _round_up(M, bm), _round_up(N, bn), _round_up(Kh, bk)
+    bn = _snap_tile(bn, N)
+    bk = _snap_tile(bk, Kh)
+    Mp = _round_up(M, bm)
     if Mp != M:
         x = jnp.pad(x, ((0, Mp - M), (0, 0)))
-    assert Khp == Kh and Np == N, \
-        f"stacked packed weights must be tile-aligned: K/2 {Kh}->{Khp} N {N}->{Np}"
 
-    nkb = Khp // bk
-    grid = (Mp // bm, Np // bn, nkb)
+    nkb = Kh // bk
+    grid = (Mp // bm, N // bn, nkb)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=grid,

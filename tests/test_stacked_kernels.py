@@ -155,3 +155,20 @@ def test_decode_attention_stacked_bf16_matches_xla():
             got = np.asarray(da.decode_attention_stacked(
                 q, k, v, l, mask, interpret=True))
             np.testing.assert_allclose(got, want, rtol=3e-4, atol=3e-4)
+
+
+def test_int8_stacked_tile_snapping_n768():
+    """bn/bk snap to divisors when defaults don't divide (e.g. N=768 QKV of
+    a 256-hidden model) — the quality run's crash shape."""
+    rng = np.random.default_rng(8)
+    L, M, K, N = 2, 4, 256, 768
+    x = jnp.asarray(rng.standard_normal((M, K)), jnp.float32)
+    w = jnp.asarray(rng.integers(-127, 127, (L, K, N)).astype(np.int8))
+    s = jnp.asarray(rng.uniform(0.01, 0.1, (L, N)).astype(np.float32))
+    want = np.asarray((x @ w[1].astype(jnp.float32)) * s[1])
+    got = np.asarray(dm.int8_matmul_stacked(x, w, s, 1, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+    got4 = np.asarray(dm.int4_matmul_stacked(
+        x, jnp.asarray(rng.integers(-100, 100, (L, K // 2, N)).astype(np.int8)),
+        s, 0, interpret=True))
+    assert got4.shape == (M, N)
