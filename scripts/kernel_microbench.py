@@ -58,18 +58,18 @@ def bench_int8_matmul(results, L, M, K, N, iters, dtype):
 
     def chain(call):
         @jax.jit
-        def run(x):
+        def run(x, w, s):
             def body(i, x):
-                out = call(x, i % L)
+                out = call(x, w, s, i % L)
                 return x * (1.0 + 1e-12 * jnp.sum(out).astype(x.dtype))
             return jax.lax.fori_loop(0, iters, body, x)
-        return run
+        return lambda x, _r=run: _r(x, w, s)
 
     variants = {
         "pallas_stacked": chain(
-            lambda x, i: dm.int8_matmul_stacked(x, w, s, i)),
+            lambda x, w, s, i: dm.int8_matmul_stacked(x, w, s, i)),
         "xla_dynidx_convert_dot": chain(
-            lambda x, i: (jnp.dot(
+            lambda x, w, s, i: (jnp.dot(
                 x, jax.lax.dynamic_index_in_dim(w, i, 0, False).astype(x.dtype),
                 preferred_element_type=jnp.float32)
                 * jax.lax.dynamic_index_in_dim(s, i, 0, False)).astype(x.dtype)),
@@ -95,14 +95,14 @@ def bench_int4_matmul(results, L, M, K, N, iters, dtype):
 
     def chain(call):
         @jax.jit
-        def run(x):
+        def run(x, w, s):
             def body(i, x):
-                out = call(x, i % L)
+                out = call(x, w, s, i % L)
                 return x * (1.0 + 1e-12 * jnp.sum(out).astype(x.dtype))
             return jax.lax.fori_loop(0, iters, body, x)
-        return run
+        return lambda x, _r=run: _r(x, w, s)
 
-    def xla_dequant(x, i):
+    def xla_dequant(x, w, s, i):
         wi = jax.lax.dynamic_index_in_dim(w, i, 0, False)
         si = jax.lax.dynamic_index_in_dim(s, i, 0, False)
         wd = quant.dequantize_int4(wi, si, x.dtype)
@@ -110,7 +110,7 @@ def bench_int4_matmul(results, L, M, K, N, iters, dtype):
 
     variants = {
         "pallas_stacked": chain(
-            lambda x, i: dm.int4_matmul_stacked(x, w, s, i)),
+            lambda x, w, s, i: dm.int4_matmul_stacked(x, w, s, i)),
         "xla_dequant_dot": chain(xla_dequant),
     }
     bytes_per = M * K * x.dtype.itemsize + K * N // 2 + N * 4 \
@@ -140,15 +140,17 @@ def bench_decode_attention(results, L, B, H, cap, D, S, iters, dtype):
     mask = masks.decode_mask(jnp.int32(valid_len - S), cap, S, kv_valid)
 
     def chain(call):
+        # cache arrays are explicit args: closure constants this size get
+        # inlined into the compile payload and break the remote compiler
         @jax.jit
-        def run(q):
+        def run(q, kq, ks, vq, vs):
             def body(i, q):
-                out = call(q, i % L)
+                out = call(q, kq, ks, vq, vs, i % L)
                 return q * (1.0 + 1e-12 * jnp.sum(out).astype(q.dtype))
             return jax.lax.fori_loop(0, iters, body, q)
         return run
 
-    def xla_dequant_attn(q, i):
+    def xla_dequant_attn(q, kq, ks, vq, vs, i):
         k = (jax.lax.dynamic_index_in_dim(kq, i, 0, False).astype(jnp.float32)
              * jax.lax.dynamic_index_in_dim(ks, i, 0, False)[..., None]
              ).astype(q.dtype)
@@ -164,13 +166,13 @@ def bench_decode_attention(results, L, B, H, cap, D, S, iters, dtype):
 
     variants = {
         "pallas_fused_stacked": chain(
-            lambda q, i: da.decode_attention_int8_stacked(
+            lambda q, kq, ks, vq, vs, i: da.decode_attention_int8_stacked(
                 q, kq, ks, vq, vs, i, mask)),
         "xla_dequant_attn": chain(xla_dequant_attn),
     }
     bytes_per = B * H * cap * (2 * D + 8)    # int8 K+V once + scales
     for name, run in variants.items():
-        t = timed_loop(run, q0, iters)
+        t = timed_loop(lambda c, _r=run: _r(c, kq, ks, vq, vs), q0, iters)
         results.append({"op": f"decode_attn_int8 B{B} H{H} cap{cap} S{S}",
                         "variant": name, "us": 1e6 * t,
                         "GB/s": bytes_per / t / 1e9})
@@ -191,14 +193,14 @@ def bench_flash_prefill(results, B, H, Q, D, iters, dtype):
 
     def chain(call):
         @jax.jit
-        def run(q):
+        def run(q, k, v):
             def body(i, q):
-                out = call(q)
+                out = call(q, k, v)
                 return q * (1.0 + 1e-12 * jnp.sum(out).astype(q.dtype))
             return jax.lax.fori_loop(0, iters, body, q)
-        return run
+        return lambda q, _r=run: _r(q, k, v)
 
-    def xla_attn(q):
+    def xla_attn(q, k, v):
         s_ = jnp.einsum("bhqd,bhkd->bhqk", q, k,
                         preferred_element_type=jnp.float32) / (D ** 0.5)
         s_ = s_ + mask.bias()
@@ -207,7 +209,8 @@ def bench_flash_prefill(results, B, H, Q, D, iters, dtype):
                           preferred_element_type=jnp.float32).astype(q.dtype)
 
     variants = {
-        "pallas_flash": chain(lambda q: fa.flash_attention(q, k, v, mask)),
+        "pallas_flash": chain(
+            lambda q, k, v: fa.flash_attention(q, k, v, mask)),
         "xla_bias_attn": chain(xla_attn),
     }
     flops = 4 * B * H * Q * Q * D
@@ -249,13 +252,21 @@ def main():
                   (12, 256, 2048, 8192), (12, 256, 8192, 2048)]
         if not args.quick:
             shapes.append((1, 256, 2048, 50304))    # LM head
+        def flush():
+            with open(args.out, "w") as f:
+                json.dump({"results": results,
+                           "platform": str(jax.devices()[0])}, f, indent=2)
+
         for (L, M, K, N) in shapes:
             bench_int8_matmul(results, L, M, K, N, it, dtype)
             bench_int4_matmul(results, L, M, K, N, it, dtype)
             print(f"[microbench] matmuls K{K} N{N} done", flush=True)
+            flush()
         bench_decode_attention(results, 12, 256, 16, 640, 128, 1, it, dtype)
+        flush()
         if not args.quick:
             bench_decode_attention(results, 12, 64, 16, 640, 128, 1, it, dtype)
+            flush()
             bench_flash_prefill(results, 8, 16, 2048, 128, max(4, it // 8),
                                 dtype)
         print("[microbench] attention done", flush=True)
