@@ -10,6 +10,7 @@ reference's headline claim is this ratio (10-20x at scale; README.md:18).
 """
 
 import argparse
+import functools
 import json
 import os
 import time
@@ -109,8 +110,10 @@ def _two_level_decomposition(params, cfg, batch, prefill, decode, dtype,
         jnp.int32).repeat(batch, 0)
     be = jnp.zeros((batch, n, ph), dtype)
 
+    # params must be a jit ARGUMENT, not a closure capture: closed-over
+    # arrays ride in the compile payload and break the remote-compile pipe.
     @jax.jit
-    def token_stage(be):
+    def token_stage(params, be):
         def body(i, carry):
             be, acc = carry
             toks, _ = gen.decode_block_tokens(params, cfg,
@@ -119,8 +122,11 @@ def _two_level_decomposition(params, cfg, batch, prefill, decode, dtype,
         _, acc = jax.lax.fori_loop(0, iters, body, (be, jnp.int32(0)))
         return acc
 
-    @jax.jit
-    def block_stage(be, cache, kv_valid):
+    # donate the multi-GB cache so the loop carry updates in place (an
+    # undonated carried cache costs a full HBM copy inside the program);
+    # the stage returns the cache so the caller can rebind for the next rep
+    @functools.partial(jax.jit, donate_argnums=(2, 3))
+    def block_stage(params, be, cache, kv_valid):
         def body(i, carry):
             be, cache, kv_valid = carry
             h, cache, kv_valid = gen._block_decoder_step(
@@ -130,17 +136,20 @@ def _two_level_decomposition(params, cfg, batch, prefill, decode, dtype,
             return h[:, -n:, :].astype(be.dtype), cache, kv_valid
         be, cache, kv_valid = jax.lax.fori_loop(0, iters, body,
                                                 (be, cache, kv_valid))
-        return be
+        return be, cache, kv_valid
 
     out = {}
-    for name, fn, args in (("token_decoder", token_stage, (be,)),
-                           ("block_decoder", block_stage,
-                            (be, cache, kv_valid))):
-        jax.block_until_ready(fn(*args))
-        t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args))
-        per = (time.perf_counter() - t0) / iters
-        out[f"{name}_ms_per_block_step"] = 1e3 * per
+    jax.block_until_ready(token_stage(params, be))
+    t0 = time.perf_counter()
+    jax.block_until_ready(token_stage(params, be))
+    out["token_decoder_ms_per_block_step"] = \
+        1e3 * (time.perf_counter() - t0) / iters
+    _, cache, kv_valid = jax.block_until_ready(
+        block_stage(params, be, cache, kv_valid))
+    t0 = time.perf_counter()
+    jax.block_until_ready(block_stage(params, be, cache, kv_valid))
+    out["block_decoder_ms_per_block_step"] = \
+        1e3 * (time.perf_counter() - t0) / iters
     return out
 
 

@@ -149,7 +149,8 @@ def int8_matmul(x, w_q, scale, *, bm: int = 256, bn: int = 512,
 # INT4 (split-half packed)
 # ---------------------------------------------------------------------------
 
-def _int4_kernel(l_ref, x_lo_ref, x_hi_ref, w_ref, scale_ref, o_ref, acc_ref):
+def _int4_kernel(l_ref, x_lo_ref, x_hi_ref, w_ref, s_lo_ref, s_hi_ref,
+                 o_ref, acc_ref):
     del l_ref                      # consumed by the index maps
     k = pl.program_id(2)
 
@@ -160,15 +161,19 @@ def _int4_kernel(l_ref, x_lo_ref, x_hi_ref, w_ref, scale_ref, o_ref, acc_ref):
     u = w_ref[0].astype(jnp.int32)
     w_lo = ((u << 28) >> 28).astype(x_lo_ref.dtype)   # rows [0, K/2)
     w_hi = ((u << 24) >> 28).astype(x_lo_ref.dtype)   # rows [K/2, K)
-    acc_ref[:] += jnp.dot(x_lo_ref[:], w_lo,
-                          preferred_element_type=jnp.float32)
-    acc_ref[:] += jnp.dot(x_hi_ref[:], w_hi,
-                          preferred_element_type=jnp.float32)
+    # Each K tile lies inside a single scale group per nibble plane
+    # (enforced by the bk | gs snap below), so the group scale multiplies
+    # the tile's integer partial product exactly.
+    acc_ref[:] += (jnp.dot(x_lo_ref[:], w_lo,
+                           preferred_element_type=jnp.float32)
+                   * s_lo_ref[0].astype(jnp.float32))
+    acc_ref[:] += (jnp.dot(x_hi_ref[:], w_hi,
+                           preferred_element_type=jnp.float32)
+                   * s_hi_ref[0].astype(jnp.float32))
 
     @pl.when(k == pl.num_programs(2) - 1)
     def _():
-        o_ref[:] = (acc_ref[:] * scale_ref[0].astype(jnp.float32)
-                    ).astype(o_ref.dtype)
+        o_ref[:] = acc_ref[:].astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit,
@@ -176,23 +181,43 @@ def _int4_kernel(l_ref, x_lo_ref, x_hi_ref, w_ref, scale_ref, o_ref, acc_ref):
 def int4_matmul_stacked(x, w_p, scale, layer, *, bm: int = 256,
                         bn: int = 512, bk: int = 512,
                         interpret: bool = False):
-    """x [M, K]; w_p int8 [L, K/2, N] split-half packed; scale f32 [L, N].
+    """x [M, K]; w_p int8 [L, K/2, N] split-half packed;
+    scale f32 [L, G, N] group-wise (or legacy [L, N] per-channel = G 1).
 
-    ``bk`` is the *packed-row* tile (covers 2*bk unpacked K rows).
+    Group ``g`` covers unpacked input rows [g*gs, (g+1)*gs), gs = K/G; gs
+    must divide K/2 so the nibble planes don't straddle groups
+    (ops/quant.quantize_int4 guarantees this). ``bk`` is the *packed-row*
+    tile (covers bk unpacked rows in each plane) and is snapped so every
+    tile sits inside one group — the kernel then scales each tile's
+    partial product, which is exact.
     """
     M, K = x.shape
     L, Kh, N = w_p.shape
-    assert K == 2 * Kh and scale.shape == (L, N)
+    if scale.ndim == 2:
+        scale = scale.reshape(L, 1, N)
+    G = scale.shape[1]
+    assert K == 2 * Kh and scale.shape == (L, G, N) and K % G == 0
+    gs = K // G
+    assert G == 1 or Kh % gs == 0, (K, G, "groups straddle the split half")
 
     bm = min(bm, _round_up(M, 8))
     bn = _snap_tile(bn, N)
     bk = _snap_tile(bk, Kh)
+    if G > 1:
+        bk = min(bk, _snap_tile(gs, Kh))
+        while gs % bk:
+            bk -= 128
     Mp = _round_up(M, bm)
     if Mp != M:
         x = jnp.pad(x, ((0, Mp - M), (0, 0)))
 
     nkb = Kh // bk
     grid = (Mp // bm, N // bn, nkb)
+    if G == 1:
+        s_lo_map = s_hi_map = lambda i, j, k, l: (l[0], 0, j)
+    else:
+        s_lo_map = lambda i, j, k, l: (l[0], (k * bk) // gs, j)
+        s_hi_map = lambda i, j, k, l: (l[0], (k * bk + Kh) // gs, j)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=grid,
@@ -207,8 +232,8 @@ def int4_matmul_stacked(x, w_p, scale, layer, *, bm: int = 256,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bk, bn), lambda i, j, k, l: (l[0], k, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, bn), lambda i, j, k, l: (l[0], 0, j),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bn), s_lo_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bn), s_hi_map, memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((bm, bn), lambda i, j, k, l: (i, j),
                                memory_space=pltpu.VMEM),
@@ -225,22 +250,29 @@ def int4_matmul_stacked(x, w_p, scale, layer, *, bm: int = 256,
             bytes_accessed=Mp * K * x.dtype.itemsize + Kh * N + Mp * N * 2,
             transcendentals=0),
         interpret=interpret,
-    )(jnp.asarray(layer, jnp.int32).reshape(1), x, x, w_p,
-      scale.reshape(L, 1, N))
+    )(jnp.asarray(layer, jnp.int32).reshape(1), x, x, w_p, scale, scale)
     return out[:M]
 
 
 def int4_matmul(x, w_p, scale, *, bm: int = 256, bn: int = 512,
                 bk: int = 512, interpret: bool = False):
-    """x [M, K]; w_p [K/2, N] int8 split-half packed; scale [N] f32."""
+    """x [M, K]; w_p [K/2, N] int8 split-half packed; scale [G, N] or [N]."""
     Kh, N = w_p.shape
+    if scale.ndim == 1:
+        scale = scale.reshape(1, N)
     Khp, Np = _round_up(Kh, 128), _round_up(N, 128)
     if (Khp, Np) != (Kh, N):
+        if Khp != Kh and scale.shape[0] > 1:
+            # padding packed rows would shift the group<->row mapping;
+            # group-wise scales require lane-aligned K (model dims are)
+            from block_transformer_tpu.ops import quant
+            return jnp.dot(x, quant.dequantize_int4(w_p, scale, x.dtype),
+                           preferred_element_type=x.dtype)
         # padding packed rows appends zero rows to BOTH nibble planes, i.e.
         # zero weight rows at [Kh, Khp) and [K/2 + Kh, ...): pad x columns
         # to match the padded split-half layout
         w_p = jnp.pad(w_p, ((0, Khp - Kh), (0, Np - N)))
-        scale = jnp.pad(scale, (0, Np - N))
+        scale = jnp.pad(scale, ((0, 0), (0, Np - N)))
         x_lo, x_hi = x[:, :Kh], x[:, Kh:]
         pad = jnp.zeros((x.shape[0], Khp - Kh), x.dtype)
         x = jnp.concatenate([x_lo, pad, x_hi, pad], axis=1)

@@ -100,8 +100,10 @@ def _apply_stacked(x, node, layer, use_pallas):
                    * s).astype(x.dtype)
     elif "kernel_q4" in node:
         _, Kh, N = node["kernel_q4"].shape
+        G = node["scale"].shape[1] if node["scale"].ndim == 3 else 1
         ok = use_pallas if use_pallas is not None else (
-            _use_pallas("INT4") and Kh % 128 == 0 and N % 128 == 0)
+            _use_pallas("INT4") and Kh % 128 == 0 and N % 128 == 0
+            and (G == 1 or (2 * Kh // G) % 128 == 0))
         if ok:
             from block_transformer_tpu.ops import dequant_matmul
             out = dequant_matmul.int4_matmul_stacked(
@@ -134,8 +136,10 @@ def _int8_matmul(x, w_q, scale, use_pallas):
 
 def _int4_matmul(x, w_p, scale, use_pallas):
     Kh, N = w_p.shape
+    G = scale.shape[0] if scale.ndim == 2 else 1
     if use_pallas is None:
-        use_pallas = _use_pallas("INT4") and Kh % 128 == 0 and N % 128 == 0
+        use_pallas = (_use_pallas("INT4") and Kh % 128 == 0 and N % 128 == 0
+                      and (G == 1 or (2 * Kh // G) % 128 == 0))
     x2, lead = _flat(x)
     if use_pallas:
         from block_transformer_tpu.ops import dequant_matmul

@@ -29,21 +29,43 @@ def dequantize_int8(w_q, scale, dtype=jnp.bfloat16):
     return (w_q.astype(jnp.float32) * scale).astype(dtype)
 
 
-def quantize_int4(w: jax.Array):
-    """w [K, N] float -> (packed int8 [K/2, N], scale fp32 [N]).
+def _int4_group_size(K: int, group_size) -> int:
+    """Effective K-group size: must divide K/2 (split-half planes may not
+    straddle a group) — otherwise collapse to per-channel (one group)."""
+    if not group_size or group_size <= 0:
+        return K
+    half = K // 2
+    if half % group_size == 0:
+        return group_size
+    return K
 
-    Values in [-7, 7]; **split-half packing**: byte row ``i`` holds
-    ``lo = row i`` (low nibble) and ``hi = row i + K/2`` (high nibble).
-    The two nibble planes are therefore *contiguous disjoint row ranges*
-    of the original weight, so the fused kernel unpacks with two shifts
-    and needs no sublane interleave — the matmul splits into
-    ``x[:, :K/2] @ lo + x[:, K/2:] @ hi`` (ops/dequant_matmul.py).
+
+def quantize_int4(w: jax.Array, group_size: int = 128):
+    """w [K, N] float -> (packed int8 [K/2, N], scale fp32 [G, N]).
+
+    Values in [-7, 7] with symmetric **group-wise** scales: group ``g``
+    covers input rows ``[g*gs, (g+1)*gs)`` (gs = effective group size, a
+    divisor of K/2 — or K itself for per-channel when group_size doesn't
+    divide). Group-wise scales are what lets INT4 meet the ppl gate
+    (per-channel INT4 measured +1.5% ppl; see QUALITY.md).
+
+    **Split-half packing**: byte row ``i`` holds ``lo = row i`` (low
+    nibble) and ``hi = row i + K/2`` (high nibble). The two nibble planes
+    are therefore *contiguous disjoint row ranges* of the original weight,
+    so the fused kernel unpacks with two shifts and needs no sublane
+    interleave — the matmul splits into ``x[:, :K/2] @ lo + x[:, K/2:] @ hi``
+    (ops/dequant_matmul.py), and each K tile sits inside one group so the
+    group scale multiplies the tile's partial product exactly.
     """
     K = w.shape[0]
     assert K % 2 == 0, "int4 packing requires even K"
-    a = jnp.max(jnp.abs(w.astype(jnp.float32)), axis=0)
+    gs = _int4_group_size(K, group_size)
+    G = K // gs
+    wf = w.astype(jnp.float32)
+    a = jnp.max(jnp.abs(wf.reshape(G, gs, -1)), axis=1)        # [G, N]
     scale = jnp.maximum(a, 1e-8) / 7.0
-    q = jnp.clip(jnp.round(w.astype(jnp.float32) / scale), -7, 7).astype(jnp.int8)
+    q = jnp.clip(jnp.round(wf / jnp.repeat(scale, gs, axis=0)), -7, 7
+                 ).astype(jnp.int8)
     half = K // 2
     lo = q[:half].astype(jnp.uint8) & 0xF
     hi = (q[half:].astype(jnp.uint8) & 0xF) << 4
@@ -59,7 +81,11 @@ def unpack_int4(packed, dtype=jnp.int8):
 
 
 def dequantize_int4(packed, scale, dtype=jnp.bfloat16):
-    return (unpack_int4(packed).astype(jnp.float32) * scale).astype(dtype)
+    """scale: [N] (legacy per-channel) or [G, N] group-wise."""
+    w = unpack_int4(packed).astype(jnp.float32)
+    if scale.ndim == 2:
+        scale = jnp.repeat(scale, w.shape[0] // scale.shape[0], axis=0)
+    return (w * scale).astype(dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -73,13 +99,15 @@ def _is_linear(node) -> bool:
     return isinstance(node, dict) and "kernel" in node
 
 
-def quantize_linear(node: dict, bits: int):
+def quantize_linear(node: dict, bits: int, group_size: int = 128):
     """{'kernel': [..., K, N], 'bias'?} -> quantized param dict.
 
     Stacked-layer kernels ([L, K, N]) are quantized per layer via vmap.
     """
+    import functools
     kernel = node["kernel"]
-    qfn = quantize_int8 if bits == 8 else quantize_int4
+    qfn = (quantize_int8 if bits == 8
+           else functools.partial(quantize_int4, group_size=group_size))
     if kernel.ndim == 3:
         w_q, scale = jax.vmap(qfn)(kernel)
     else:
@@ -90,7 +118,8 @@ def quantize_linear(node: dict, bits: int):
     return out
 
 
-def quantize_model_params(params, bits: int = 8, skip_paths=()):
+def quantize_model_params(params, bits: int = 8, skip_paths=(),
+                          group_size: int = 128):
     """Replace every dense-kernel node in the pytree with its quantized form.
 
     skip_paths: tuples of path-name substrings to leave in fp (e.g.
@@ -101,7 +130,7 @@ def quantize_model_params(params, bits: int = 8, skip_paths=()):
             if any(all(s in path for s in sp) if isinstance(sp, tuple)
                    else sp in path for sp in skip_paths):
                 return node
-            return quantize_linear(node, bits)
+            return quantize_linear(node, bits, group_size=group_size)
         if isinstance(node, dict):
             return {k: walk(v, path + (k,)) for k, v in node.items()}
         return node
@@ -109,14 +138,18 @@ def quantize_model_params(params, bits: int = 8, skip_paths=()):
     return walk(params, ())
 
 
-def quantize_block_transformer(params, bits: int = 8):
+def quantize_block_transformer(params, bits: int = 8, group_size: int = 128):
     """Quantize a block-transformer param tree for inference.
 
     Dense kernels in both decoder stacks + LM head + expansion go to
     INT8/INT4; the embedder (token lookup + tiny strided projection) and all
-    layer norms / biases stay full precision.
+    layer norms / biases stay full precision. INT4 uses group-wise scales
+    (``group_size`` input rows per scale) — the per-channel-only variant
+    measured +1.5% ppl and fails the <=0.5% gate (QUALITY.md).
     """
     out = dict(params)
-    out["block_decoder"] = quantize_model_params(params["block_decoder"], bits)
-    out["token_decoder"] = quantize_model_params(params["token_decoder"], bits)
+    out["block_decoder"] = quantize_model_params(
+        params["block_decoder"], bits, group_size=group_size)
+    out["token_decoder"] = quantize_model_params(
+        params["token_decoder"], bits, group_size=group_size)
     return out

@@ -43,6 +43,38 @@ def test_int4_matmul_stacked_matches_dequant():
         np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
 
 
+def test_int4_matmul_stacked_groupwise_scales():
+    """Group-wise scales (G > 1): kernel partial-product scaling must match
+    the full dequant reference, including when bk must snap down to gs."""
+    rng = np.random.default_rng(11)
+    L, M, K, N = 2, 8, 512, 128          # gs=128 -> G=4, Kh=256
+    x = jnp.asarray(rng.standard_normal((M, K)), jnp.float32)
+    packs = [quant.quantize_int4(
+        jnp.asarray(rng.standard_normal((K, N)), jnp.float32), group_size=128)
+        for _ in range(L)]
+    w_p = jnp.stack([p for p, _ in packs])
+    s = jnp.stack([sc for _, sc in packs])
+    assert s.shape == (L, 4, N)
+    for l in range(L):
+        want = np.asarray(x @ quant.dequantize_int4(w_p[l], s[l], jnp.float32))
+        got = np.asarray(dm.int4_matmul_stacked(x, w_p, s, l, interpret=True))
+        np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+
+
+def test_int4_groupwise_quantization_more_accurate():
+    """Group scales must strictly reduce reconstruction error on weights
+    whose magnitude varies along K (the reason for the scheme)."""
+    rng = np.random.default_rng(12)
+    K, N = 512, 64
+    mag = np.repeat(rng.uniform(0.1, 3.0, (K // 128, 1)), 128, 0)
+    w = jnp.asarray(rng.standard_normal((K, N)) * mag, jnp.float32)
+    p_pc, s_pc = quant.quantize_int4(w, group_size=0)       # per-channel
+    p_gw, s_gw = quant.quantize_int4(w, group_size=128)
+    err_pc = float(jnp.abs(quant.dequantize_int4(p_pc, s_pc, jnp.float32) - w).mean())
+    err_gw = float(jnp.abs(quant.dequantize_int4(p_gw, s_gw, jnp.float32) - w).mean())
+    assert err_gw < err_pc * 0.7, (err_gw, err_pc)
+
+
 def test_int4_matmul_unaligned_padding_path():
     rng = np.random.default_rng(2)
     x = jnp.asarray(rng.standard_normal((4, 100)), jnp.float32)
