@@ -80,8 +80,13 @@ def bench_block(model_name: str, batch, prefill: int, decode: int,
         "ms_per_token": 1e3 * dt / (batch * decode),
         "times_s": [round(t, 4) for t in times],
     }
-    detail.update(_two_level_decomposition(params, cfg, batch, prefill,
-                                           decode, dtype, kv_cache))
+    if os.environ.get("BT_BENCH_DECOMP", "1") != "0":
+        try:
+            detail.update(_two_level_decomposition(params, cfg, batch,
+                                                   prefill, decode, dtype,
+                                                   kv_cache))
+        except Exception as e:  # decomposition is diagnostic, not the metric
+            detail["decomposition_error"] = str(e)[:200]
     decode_tokens = batch * decode
     return decode_tokens / dt, batch, detail
 

@@ -296,11 +296,15 @@ def _write_kv(buf, new, layer, write_pos):
     return jax.lax.dynamic_update_index_in_dim(buf, row_buf, layer, axis=0)
 
 
-def _fused_kv_attn_enabled(S: int) -> bool:
+def _fused_kv_attn_enabled(S: int, capacity: int = 0) -> bool:
+    """Fused Pallas decode attention: decode-sized queries over a LARGE
+    cache only. For tiny caches (the token decoder's per-block local cache,
+    capacity ~block_length + prefix) a pallas_call per layer is pure grid
+    overhead — XLA fuses that attention into adjacent ops for free."""
     import os
     if os.environ.get("BT_FUSED_KV_ATTN", "1") == "0":
         return False
-    if S > 8:
+    if S > 8 or capacity < 256:
         return False
     try:
         return jax.devices()[0].platform == "tpu"
@@ -332,7 +336,7 @@ def neox_stack(params, x, *, cfg: NeoXConfig, mask, positions,
         # int8-KV attention kernel over the full stacked cache (the cache
         # is read once at int8 width — no bf16 materialization); larger
         # S / CPU falls back to dequant + the standard attention path.
-        use_fused = _fused_kv_attn_enabled(x.shape[1])
+        use_fused = _fused_kv_attn_enabled(x.shape[1], cache.k.shape[3])
         layers = params["layers"]
 
         def body(carry, i):
@@ -374,7 +378,7 @@ def neox_stack(params, x, *, cfg: NeoXConfig, mask, positions,
         # dynamic_update_slice per layer, so XLA keeps it in place (donated
         # carry) — the xs/ys formulation forced full input+output cache
         # copies (observed 4-5x cache footprint on TPU decode).
-        use_fused = _fused_kv_attn_enabled(x.shape[1])
+        use_fused = _fused_kv_attn_enabled(x.shape[1], cache.k.shape[3])
         layers = params["layers"]
 
         def body(carry, i):

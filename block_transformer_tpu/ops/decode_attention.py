@@ -15,10 +15,18 @@ Round-2 design (vs the gated round-1 kernel):
   ``dynamic_index`` slice forces XLA to materialize that slice (hundreds
   of MB per decode step at b256) — passing the stacked buffer by pointer
   eliminates the copy that made the round-1 kernel 2x slower than XLA.
-- **Head-batched grid** (B, K tiles): all heads are processed inside one
-  grid step (statically unrolled), so DMA transfers are ~H x larger and
-  per-step grid overhead is amortized — the round-1 per-(batch, head)
-  grid starved the pipeline with tiny transfers.
+- **Head- and batch-batched grid** (B/bb, K tiles): all heads plus ``bb``
+  batch rows are processed inside one grid step (statically unrolled), so
+  DMA transfers are ~bb*H x larger and per-step grid overhead is
+  amortized — the round-1 per-(batch, head) grid starved the pipeline
+  with tiny transfers, and the round-2a (B, 128-slot) grid still spent
+  ~3.6us/step of overhead on ~0.5MB copies (measured 151 GB/s vs the
+  ~800 GB/s v5e HBM roofline).
+- **Full-row K tiles**: ``bk`` is the largest lane-aligned divisor of the
+  capacity within the VMEM budget (e.g. 640 for the b256/p2048 global
+  cache), not a fixed power-of-two list — one K step per row means the
+  online-softmax scratch is touched once and the whole row streams as a
+  single DMA.
 
 Online-softmax over KV tiles, mask from AttnMask index vectors (same
 convention as ops/flash_attention.py).
@@ -42,7 +50,7 @@ def _cdiv(a, b):
     return -(-a // b)
 
 
-def _make_kernel(H: int, Sp: int, scale: float, quantized: bool):
+def _make_kernel(bb: int, H: int, Sp: int, scale: float, quantized: bool):
     def kernel(l_ref, q_idx_ref, kv_idx_ref, kv_valid_ref, q_ref, k_ref,
                *rest):
         if quantized:
@@ -51,56 +59,70 @@ def _make_kernel(H: int, Sp: int, scale: float, quantized: bool):
             v_ref, o_ref, acc_ref, m_ref, l_sum_ref = rest
         del l_ref
         ik = pl.program_id(1)
+        multi_k = pl.num_programs(1) > 1
 
-        @pl.when(ik == 0)
-        def _():
-            acc_ref[:] = jnp.zeros_like(acc_ref)
-            m_ref[:] = jnp.full_like(m_ref, _NEG)
-            l_sum_ref[:] = jnp.zeros_like(l_sum_ref)
+        if multi_k:
+            @pl.when(ik == 0)
+            def _():
+                acc_ref[:] = jnp.zeros_like(acc_ref)
+                m_ref[:] = jnp.full_like(m_ref, _NEG)
+                l_sum_ref[:] = jnp.zeros_like(l_sum_ref)
 
-        qi = q_idx_ref[0, 0]                          # [Sp]
         ki = kv_idx_ref[0, 0]                         # [bk]
-        ok = (ki[None, :] <= qi[:, None]) & (kv_valid_ref[0, 0][None, :] != 0)
+        for b in range(bb):                           # static unroll
+            qi = q_idx_ref[b, 0]                      # [Sp]
+            okb = ((ki[None, :] <= qi[:, None])
+                   & (kv_valid_ref[b, 0][None, :] != 0))
+            for h in range(H):                        # static unroll
+                q = q_ref[b, h]                       # [Sp, D]
+                k_h = k_ref[0, b, h]                  # [bk, D] int8 / bf16
+                s = jax.lax.dot_general(
+                    q.astype(jnp.float32), k_h.astype(jnp.float32),
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                if quantized:
+                    s = s * (ks_ref[0, b, h, 0][None, :] * scale)
+                else:
+                    s = s * scale
+                s = jnp.where(okb, s, _NEG)
 
-        for h in range(H):                            # static unroll
-            q = q_ref[0, h]                           # [Sp, D]
-            k_h = k_ref[0, 0, h]                      # [bk, D] int8 / bf16
-            s = jax.lax.dot_general(
-                q.astype(jnp.float32), k_h.astype(jnp.float32),
-                (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            if quantized:
-                s = s * (ks_ref[0, 0, h, 0][None, :] * scale)
-            else:
-                s = s * scale
-            s = jnp.where(ok, s, _NEG)
+                r = slice((b * H + h) * Sp, (b * H + h + 1) * Sp)
+                m_new = jnp.max(s, axis=1, keepdims=True)
+                p = jnp.exp(s - m_new)                # [Sp, bk]
+                l_new = jnp.sum(p, axis=1, keepdims=True)
+                pv = p * vs_ref[0, b, h, 0][None, :] if quantized else p
+                a_new = jax.lax.dot(
+                    pv, v_ref[0, b, h].astype(jnp.float32),
+                    preferred_element_type=jnp.float32)
+                if multi_k:                           # online-softmax merge
+                    m_prev = m_ref[r]
+                    m_tot = jnp.maximum(m_prev, m_new)
+                    corr_p = jnp.exp(m_prev - m_tot)
+                    corr_n = jnp.exp(m_new - m_tot)
+                    l_sum_ref[r] = (l_sum_ref[r] * corr_p + l_new * corr_n)
+                    acc_ref[r] = acc_ref[r] * corr_p + a_new * corr_n
+                    m_ref[r] = m_tot
+                else:                                 # single K tile: direct
+                    o_ref[b, h] = (a_new / jnp.maximum(l_new, 1e-30)
+                                   ).astype(o_ref.dtype)
 
-            r = slice(h * Sp, (h + 1) * Sp)
-            m_prev = m_ref[r]
-            m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
-            p = jnp.exp(s - m_new)                    # [Sp, bk]
-            corr = jnp.exp(m_prev - m_new)
-            l_sum_ref[r] = l_sum_ref[r] * corr + jnp.sum(p, axis=1,
-                                                         keepdims=True)
-            pv = p * vs_ref[0, 0, h, 0][None, :] if quantized else p
-            acc_ref[r] = acc_ref[r] * corr + jax.lax.dot(
-                pv, v_ref[0, 0, h].astype(jnp.float32),
-                preferred_element_type=jnp.float32)
-            m_ref[r] = m_new
-
-        @pl.when(ik == pl.num_programs(1) - 1)
-        def _():
-            for h in range(H):
-                r = slice(h * Sp, (h + 1) * Sp)
-                o_ref[0, h] = (acc_ref[r] / jnp.maximum(l_sum_ref[r], 1e-30)
-                               ).astype(o_ref.dtype)
+        if multi_k:
+            @pl.when(ik == pl.num_programs(1) - 1)
+            def _():
+                for b in range(bb):
+                    for h in range(H):
+                        r = slice((b * H + h) * Sp, (b * H + h + 1) * Sp)
+                        o_ref[b, h] = (
+                            acc_ref[r] / jnp.maximum(l_sum_ref[r], 1e-30)
+                        ).astype(o_ref.dtype)
 
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("bk", "interpret", "quantized"))
+@functools.partial(jax.jit,
+                   static_argnames=("bk", "bb", "interpret", "quantized"))
 def _decode_attn(q, k_q, k_s, v_q, v_s, layer, q_idx, kv_idx, kv_valid, *,
-                 bk: int, interpret: bool, quantized: bool = True):
+                 bk: int, bb: int, interpret: bool, quantized: bool = True):
     B, H, S, D = q.shape
     L, B2, H2, K, D2 = k_q.shape
     assert (B, H, D) == (B2, H2, D2)
@@ -110,21 +132,22 @@ def _decode_attn(q, k_q, k_s, v_q, v_s, layer, q_idx, kv_idx, kv_valid, *,
         q = jnp.pad(q, ((0, 0), (0, 0), (0, Sp - S), (0, 0)))
         q_idx = jnp.pad(q_idx, ((0, 0), (0, Sp - S)))
     assert K % bk == 0, f"stacked cache capacity {K} must divide bk={bk}"
+    assert B % bb == 0, (B, bb)
 
-    kv_spec = pl.BlockSpec((1, 1, H, bk, D),
+    kv_spec = pl.BlockSpec((1, bb, H, bk, D),
                            lambda b, ik, l: (l[0], b, 0, ik, 0),
                            memory_space=pltpu.VMEM)
-    sc_spec = pl.BlockSpec((1, 1, H, 1, bk),
+    sc_spec = pl.BlockSpec((1, bb, H, 1, bk),
                            lambda b, ik, l: (l[0], b, 0, 0, ik),
                            memory_space=pltpu.VMEM)
     in_specs = [
-        pl.BlockSpec((1, 1, Sp), lambda b, ik, l: (b, 0, 0),
+        pl.BlockSpec((bb, 1, Sp), lambda b, ik, l: (b, 0, 0),
                      memory_space=pltpu.VMEM),           # q_idx
         pl.BlockSpec((1, 1, bk), lambda b, ik, l: (0, 0, ik),
                      memory_space=pltpu.VMEM),           # kv_idx
-        pl.BlockSpec((1, 1, bk), lambda b, ik, l: (b, 0, ik),
+        pl.BlockSpec((bb, 1, bk), lambda b, ik, l: (b, 0, ik),
                      memory_space=pltpu.VMEM),           # kv_valid
-        pl.BlockSpec((1, H, Sp, D), lambda b, ik, l: (b, 0, 0, 0),
+        pl.BlockSpec((bb, H, Sp, D), lambda b, ik, l: (b, 0, 0, 0),
                      memory_space=pltpu.VMEM),           # q
         kv_spec,                                         # k
     ]
@@ -140,19 +163,19 @@ def _decode_attn(q, k_q, k_s, v_q, v_s, layer, q_idx, kv_idx, kv_valid, *,
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(B, K // bk),
+        grid=(B // bb, K // bk),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, H, Sp, D), lambda b, ik, l: (b, 0, 0, 0),
+        out_specs=pl.BlockSpec((bb, H, Sp, D), lambda b, ik, l: (b, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((H * Sp, D), jnp.float32),
-            pltpu.VMEM((H * Sp, 1), jnp.float32),
-            pltpu.VMEM((H * Sp, 1), jnp.float32),
+            pltpu.VMEM((bb * H * Sp, D), jnp.float32),
+            pltpu.VMEM((bb * H * Sp, 1), jnp.float32),
+            pltpu.VMEM((bb * H * Sp, 1), jnp.float32),
         ],
     )
     itemsize = 1 if quantized else k_q.dtype.itemsize
     out = pl.pallas_call(
-        _make_kernel(H, Sp, scale, quantized),
+        _make_kernel(bb, H, Sp, scale, quantized),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, H, Sp, D), q.dtype),
         compiler_params=pltpu.CompilerParams(
@@ -167,7 +190,48 @@ def _decode_attn(q, k_q, k_s, v_q, v_s, layer, q_idx, kv_idx, kv_valid, *,
     return out[:, :, :S, :]
 
 
-def _prep(q, K, mask, bk):
+# Scoped-VMEM ceiling for one grid step's working set. XLA rejects TPU
+# custom calls whose stack allocation exceeds 16MB; the estimator below
+# doubles every pipelined block (double buffering) and pads trailing dims
+# to the 128-lane tile (a D=64 cache measured exactly 2x the naive
+# estimate: 17.5M scoped for a 9.2M un-padded sum), leaving ~3MB slack
+# for Mosaic temporaries.
+_VMEM_LIMIT = 13 * 1024 * 1024
+
+
+def _pick_tiles(B: int, H: int, K: int, D: int, itemsize: int,
+                quantized: bool, Sp: int = 8):
+    """(bk, bb): choose the K tile and batch tile maximizing the per-step
+    DMA size under the scoped-VMEM limit. Both must divide their dims
+    (the stacked cache can't be padded)."""
+    Dp = -(-D // 128) * 128          # VMEM lane padding
+
+    def step_bytes(bb, bk):
+        kv = 2 * bb * H * bk * Dp * itemsize
+        sc = 2 * bb * H * bk * 4 if quantized else 0
+        qo = 2 * bb * H * Sp * Dp * 2
+        valid = (bb + 1) * bk * 4 + bb * Sp * 4
+        scratch = bb * H * Sp * (Dp + 2) * 4
+        return 2 * (kv + sc + qo + valid) + scratch
+
+    if K % 128:
+        bks = [K]                    # unaligned capacity: tests/tiny shapes
+    else:
+        bks = [d for d in range(K, 0, -128) if K % d == 0]
+    best = None
+    for bk in bks:
+        for bb in range(min(8, B), 0, -1):
+            if B % bb or step_bytes(bb, bk) > _VMEM_LIMIT:
+                continue
+            if best is None or bb * bk > best[0] * best[1]:
+                best = (bb, bk)
+            break                    # smaller bb only shrinks the DMA
+    if best is None:
+        best = (1, bks[-1])          # tiny-shape fallback (tests)
+    return best[1], best[0]
+
+
+def _prep(q, K, mask):
     B, H, S, D = q.shape
     q_idx = mask.q_idx
     if q_idx.ndim == 1:
@@ -175,34 +239,31 @@ def _prep(q, K, mask, bk):
     kv_valid = mask.kv_valid
     if kv_valid is None:
         kv_valid = jnp.ones((B, K), jnp.int32)
-    # largest lane-aligned K-tile <= bk that divides the capacity (cache
-    # creators round capacity to a multiple of 128, so one always exists)
-    if K % 128 == 0:
-        bk = next(c for c in (min(bk, K), 512, 384, 256, 128)
-                  if c <= bk and K % c == 0)
-    else:
-        bk = K  # unaligned capacity: single tile (tests / tiny shapes)
     return (q_idx.astype(jnp.int32), mask.kv_idx.astype(jnp.int32),
-            kv_valid.astype(jnp.int32), bk)
+            kv_valid.astype(jnp.int32))
 
 
 def decode_attention_int8_stacked(q, k_q, k_s, v_q, v_s, layer,
                                   mask: masks_lib.AttnMask, *,
-                                  bk: int = 512, interpret: bool = False):
+                                  interpret: bool = False):
     """Fused int8-KV decode attention over a stacked cache.
 
     q [B, H, S, D] (S<=8); k_q/v_q int8 [L, B, H, cap, D]; k_s/v_s f32
     [L, B, H, cap]; layer: traced scalar int32; mask: AttnMask at cache
     granularity. -> [B, H, S, D] in q.dtype.
     """
-    q_idx, kv_idx, kv_valid, bk = _prep(q, k_q.shape[3], mask, bk)
+    B, H, S, D = q.shape
+    K = k_q.shape[3]
+    q_idx, kv_idx, kv_valid = _prep(q, K, mask)
+    bk, bb = _pick_tiles(B, H, K, D, 1, True)
     return _decode_attn(q, k_q, k_s.astype(jnp.float32), v_q,
                         v_s.astype(jnp.float32), layer, q_idx, kv_idx,
-                        kv_valid, bk=bk, interpret=interpret, quantized=True)
+                        kv_valid, bk=bk, bb=bb, interpret=interpret,
+                        quantized=True)
 
 
 def decode_attention_stacked(q, k, v, layer, mask: masks_lib.AttnMask, *,
-                             bk: int = 512, interpret: bool = False):
+                             interpret: bool = False):
     """Unquantized (bf16/f32 KV) head-batched decode attention over a
     stacked cache: same structure as the int8 form without scales — the
     small-Q decode counterpart of ops/flash_attention.py (whose
@@ -210,16 +271,19 @@ def decode_attention_stacked(q, k, v, layer, mask: masks_lib.AttnMask, *,
 
     q [B, H, S, D] (S<=8); k/v [L, B, H, cap, D]; layer scalar int32.
     """
-    q_idx, kv_idx, kv_valid, bk = _prep(q, k.shape[3], mask, bk)
+    B, H, S, D = q.shape
+    K = k.shape[3]
+    q_idx, kv_idx, kv_valid = _prep(q, K, mask)
+    bk, bb = _pick_tiles(B, H, K, D, k.dtype.itemsize, False)
     return _decode_attn(q, k, None, v, None, layer, q_idx, kv_idx,
-                        kv_valid, bk=bk, interpret=interpret,
+                        kv_valid, bk=bk, bb=bb, interpret=interpret,
                         quantized=False)
 
 
 def decode_attention_int8(q, k_q, k_s, v_q, v_s, mask: masks_lib.AttnMask,
-                          *, bk: int = 512, interpret: bool = False):
+                          *, interpret: bool = False):
     """Single-layer form (kept for tests/microbench): wraps the stacked
     kernel with L=1. q [B,H,S,D]; k_q/v_q int8 [B,H,K,D]; k_s/v_s [B,H,K]."""
     return decode_attention_int8_stacked(
-        q, k_q[None], k_s[None], v_q[None], v_s[None], 0, mask, bk=bk,
+        q, k_q[None], k_s[None], v_q[None], v_s[None], 0, mask,
         interpret=interpret)

@@ -13,9 +13,17 @@ index, and the Pallas kernels select the layer inside their index maps
 — the fix that takes the fused kernels from 2x-slower to faster than
 XLA's convert+dot on the decode path (see ops/dequant_matmul.py).
 
+Dispatch is **M-aware**: the Pallas kernels only run for decode-sized
+activations (M <= BT_PALLAS_M_MAX, default 512), where the matmul is
+weight-streaming-bound and the int8/int4 stream at half/quarter bf16 bytes
+pays off. Prefill-sized M (batch x chunk rows, e.g. 32768 at b256) is
+compute-bound on the MXU — XLA's fused convert+dot tiles those shapes
+better, and the quantized weights only cost one in-flight convert.
+
 Env switches (measured defaults; see scripts/kernel_microbench.py):
-  BT_PALLAS_INT8=0   disable the Pallas int8 kernel (XLA convert+dot)
-  BT_PALLAS_INT4=0   disable the Pallas int4 kernel (XLA dequant+dot)
+  BT_PALLAS_INT8=0    disable the Pallas int8 kernel (XLA convert+dot)
+  BT_PALLAS_INT4=0    disable the Pallas int4 kernel (XLA dequant+dot)
+  BT_PALLAS_M_MAX=n   Pallas/XLA crossover row count (default 512)
 """
 
 from __future__ import annotations
@@ -42,10 +50,12 @@ def _on_tpu() -> bool:
         return False
 
 
-def _use_pallas(kind: str) -> bool:
+def _use_pallas(kind: str, m: int) -> bool:
     if not _on_tpu():
         return False
-    return os.environ.get(f"BT_PALLAS_{kind}", "1") != "0"
+    if os.environ.get(f"BT_PALLAS_{kind}", "1") == "0":
+        return False
+    return m <= int(os.environ.get("BT_PALLAS_M_MAX", "512"))
 
 
 def _slice(a, i):
@@ -87,7 +97,8 @@ def _apply_stacked(x, node, layer, use_pallas):
     elif "kernel_q8" in node:
         _, K, N = node["kernel_q8"].shape
         ok = use_pallas if use_pallas is not None else (
-            _use_pallas("INT8") and K % 128 == 0 and N % 128 == 0)
+            _use_pallas("INT8", x2.shape[0])
+            and K % 128 == 0 and N % 128 == 0)
         if ok:
             from block_transformer_tpu.ops import dequant_matmul
             out = dequant_matmul.int8_matmul_stacked(
@@ -102,7 +113,8 @@ def _apply_stacked(x, node, layer, use_pallas):
         _, Kh, N = node["kernel_q4"].shape
         G = node["scale"].shape[1] if node["scale"].ndim == 3 else 1
         ok = use_pallas if use_pallas is not None else (
-            _use_pallas("INT4") and Kh % 128 == 0 and N % 128 == 0
+            _use_pallas("INT4", x2.shape[0])
+            and Kh % 128 == 0 and N % 128 == 0
             and (G == 1 or (2 * Kh // G) % 128 == 0))
         if ok:
             from block_transformer_tpu.ops import dequant_matmul
@@ -121,9 +133,10 @@ def _apply_stacked(x, node, layer, use_pallas):
 
 def _int8_matmul(x, w_q, scale, use_pallas):
     K, N = w_q.shape
-    if use_pallas is None:
-        use_pallas = _use_pallas("INT8") and K % 128 == 0 and N % 128 == 0
     x2, lead = _flat(x)
+    if use_pallas is None:
+        use_pallas = (_use_pallas("INT8", x2.shape[0])
+                      and K % 128 == 0 and N % 128 == 0)
     if use_pallas:
         from block_transformer_tpu.ops import dequant_matmul
         out = dequant_matmul.int8_matmul(x2, w_q, scale)
@@ -137,10 +150,11 @@ def _int8_matmul(x, w_q, scale, use_pallas):
 def _int4_matmul(x, w_p, scale, use_pallas):
     Kh, N = w_p.shape
     G = scale.shape[0] if scale.ndim == 2 else 1
-    if use_pallas is None:
-        use_pallas = (_use_pallas("INT4") and Kh % 128 == 0 and N % 128 == 0
-                      and (G == 1 or (2 * Kh // G) % 128 == 0))
     x2, lead = _flat(x)
+    if use_pallas is None:
+        use_pallas = (_use_pallas("INT4", x2.shape[0])
+                      and Kh % 128 == 0 and N % 128 == 0
+                      and (G == 1 or (2 * Kh // G) % 128 == 0))
     if use_pallas:
         from block_transformer_tpu.ops import dequant_matmul
         out = dequant_matmul.int4_matmul(x2, w_p, scale)

@@ -62,7 +62,14 @@ def quantize_int4(w: jax.Array, group_size: int = 128):
     gs = _int4_group_size(K, group_size)
     G = K // gs
     wf = w.astype(jnp.float32)
-    a = jnp.max(jnp.abs(wf.reshape(G, gs, -1)), axis=1)        # [G, N]
+    wg = wf.reshape(G, gs, -1)
+    a = jnp.max(jnp.abs(wg), axis=1)                           # [G, N]
+    # absmax scales, deliberately NOT weight-MSE-searched: a shrink-factor
+    # grid search (f in 1.0..0.75, round-to-nearest with clipping) lowers
+    # weight MSE but clips outlier rows, and outliers carry the signal —
+    # measured end-to-end it WORSENED INT4 ppl delta 0.905% -> 1.536%
+    # (quality_run, block_main_b4_5@3000). Group granularity is the knob
+    # that works (per-channel 1.53% -> g128 0.905%).
     scale = jnp.maximum(a, 1e-8) / 7.0
     q = jnp.clip(jnp.round(wf / jnp.repeat(scale, gs, axis=0)), -7, 7
                  ).astype(jnp.int8)
