@@ -266,6 +266,8 @@ def main():
     ap.add_argument("--vanilla", default="vanilla_410")
     ap.add_argument("--batch", default="auto",
                     help="int or 'auto' (per-model static-HBM batch search)")
+    ap.add_argument("--vanilla_batch", default=None,
+                    help="vanilla baseline batch (defaults to --batch)")
     ap.add_argument("--prefill", type=int, default=2048)
     ap.add_argument("--decode", type=int, default=128)
     ap.add_argument("--dtype", default="bfloat16")
@@ -307,7 +309,8 @@ def main():
         gc.collect()
 
     vanilla_tps, vanilla_batch, van_detail = bench_vanilla(
-        args.vanilla, args.batch, args.prefill, args.decode, args.dtype)
+        args.vanilla, args.vanilla_batch or args.batch, args.prefill,
+        args.decode, args.dtype)
     ratio = block_tps / vanilla_tps if vanilla_tps > 0 else 0.0
     with open(args.detail_out, "w") as f:
         json.dump({"block": block_detail, "vanilla": van_detail,

@@ -302,7 +302,13 @@ def _fused_kv_attn_enabled(S: int, capacity: int = 0) -> bool:
     capacity ~block_length + prefix) a pallas_call per layer is pure grid
     overhead — XLA fuses that attention into adjacent ops for free."""
     import os
-    if os.environ.get("BT_FUSED_KV_ATTN", "1") == "0":
+    # Opt-in (BT_FUSED_KV_ATTN=1): the retiled kernel reaches 1.27 ms/layer
+    # at b128/cap640 int8 but XLA's own fused dequant attention measures
+    # 0.90 ms/layer on the same shape (bench.py BT_BENCH_DECOMP stage
+    # timings) — XLA fuses the int8->bf16 convert into the attention dots
+    # without materializing the cache, and wins end-to-end (10,911 vs
+    # 9,371 tok/s at the b256 headline point). See RESULTS.md.
+    if os.environ.get("BT_FUSED_KV_ATTN", "0") != "1":
         return False
     if S > 8 or capacity < 256:
         return False

@@ -51,6 +51,13 @@ def _cdiv(a, b):
 
 
 def _make_kernel(bb: int, H: int, Sp: int, scale: float, quantized: bool):
+    """Vectorized kernel body: ONE batched dot_general over the merged
+    (bb*H) dim for QK and PV, whole-array masking/softmax. The per-(b, h)
+    Python unroll (v1) emitted ~7 tiny ops per head and was op-issue bound
+    at ~3x the DMA time of its K/V tile (measured 1.33 vs 0.90 ms/layer
+    against XLA at b128/cap640)."""
+    BH = bb * H
+
     def kernel(l_ref, q_idx_ref, kv_idx_ref, kv_valid_ref, q_ref, k_ref,
                *rest):
         if quantized:
@@ -60,6 +67,38 @@ def _make_kernel(bb: int, H: int, Sp: int, scale: float, quantized: bool):
         del l_ref
         ik = pl.program_id(1)
         multi_k = pl.num_programs(1) > 1
+        bk = k_ref.shape[3]
+
+        # dots run in q's dtype (bf16 in production — int8 cache values are
+        # exact in bf16, and the XLA fallback path computes attention in
+        # q.dtype too); accumulation stays f32 via preferred_element_type
+        cdt = q_ref.dtype
+        q = q_ref[:].reshape(BH, Sp, -1)
+        k = k_ref[0].reshape(BH, bk, -1).astype(cdt)
+        v = v_ref[0].reshape(BH, bk, -1).astype(cdt)
+        # scores [BH, Sp, bk]: batched over the merged (b, h) dim
+        s = jax.lax.dot_general(q, k, (((2,), (2,)), ((0,), (0,))),
+                                preferred_element_type=jnp.float32)
+        if quantized:
+            s = s * (ks_ref[0].reshape(BH, 1, bk) * scale)
+        else:
+            s = s * scale
+        # mask: causal vs q_idx + validity, shared across heads of a row
+        ki = kv_idx_ref[0, 0]                               # [bk]
+        qi = q_idx_ref[:].reshape(bb, 1, Sp, 1)
+        valid = kv_valid_ref[:].reshape(bb, 1, 1, bk)
+        ok = (ki.reshape(1, 1, 1, bk) <= qi) & (valid != 0)
+        ok = jnp.broadcast_to(ok, (bb, H, Sp, bk)).reshape(BH, Sp, bk)
+        s = jnp.where(ok, s, _NEG)
+
+        m_new = jnp.max(s, axis=2, keepdims=True)           # [BH, Sp, 1]
+        p = jnp.exp(s - m_new)
+        l_new = jnp.sum(p, axis=2, keepdims=True)
+        if quantized:
+            p = p * vs_ref[0].reshape(BH, 1, bk)
+        a_new = jax.lax.dot_general(p.astype(cdt), v,
+                                    (((2,), (1,)), ((0,), (0,))),
+                                    preferred_element_type=jnp.float32)
 
         if multi_k:
             @pl.when(ik == 0)
@@ -68,53 +107,23 @@ def _make_kernel(bb: int, H: int, Sp: int, scale: float, quantized: bool):
                 m_ref[:] = jnp.full_like(m_ref, _NEG)
                 l_sum_ref[:] = jnp.zeros_like(l_sum_ref)
 
-        ki = kv_idx_ref[0, 0]                         # [bk]
-        for b in range(bb):                           # static unroll
-            qi = q_idx_ref[b, 0]                      # [Sp]
-            okb = ((ki[None, :] <= qi[:, None])
-                   & (kv_valid_ref[b, 0][None, :] != 0))
-            for h in range(H):                        # static unroll
-                q = q_ref[b, h]                       # [Sp, D]
-                k_h = k_ref[0, b, h]                  # [bk, D] int8 / bf16
-                s = jax.lax.dot_general(
-                    q.astype(jnp.float32), k_h.astype(jnp.float32),
-                    (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-                if quantized:
-                    s = s * (ks_ref[0, b, h, 0][None, :] * scale)
-                else:
-                    s = s * scale
-                s = jnp.where(okb, s, _NEG)
+            m2, l2 = m_new.reshape(BH * Sp, 1), l_new.reshape(BH * Sp, 1)
+            a2 = a_new.reshape(BH * Sp, -1)
+            m_prev = m_ref[:]
+            m_tot = jnp.maximum(m_prev, m2)
+            corr_p = jnp.exp(m_prev - m_tot)
+            corr_n = jnp.exp(m2 - m_tot)
+            l_sum_ref[:] = l_sum_ref[:] * corr_p + l2 * corr_n
+            acc_ref[:] = acc_ref[:] * corr_p + a2 * corr_n
+            m_ref[:] = m_tot
 
-                r = slice((b * H + h) * Sp, (b * H + h + 1) * Sp)
-                m_new = jnp.max(s, axis=1, keepdims=True)
-                p = jnp.exp(s - m_new)                # [Sp, bk]
-                l_new = jnp.sum(p, axis=1, keepdims=True)
-                pv = p * vs_ref[0, b, h, 0][None, :] if quantized else p
-                a_new = jax.lax.dot(
-                    pv, v_ref[0, b, h].astype(jnp.float32),
-                    preferred_element_type=jnp.float32)
-                if multi_k:                           # online-softmax merge
-                    m_prev = m_ref[r]
-                    m_tot = jnp.maximum(m_prev, m_new)
-                    corr_p = jnp.exp(m_prev - m_tot)
-                    corr_n = jnp.exp(m_new - m_tot)
-                    l_sum_ref[r] = (l_sum_ref[r] * corr_p + l_new * corr_n)
-                    acc_ref[r] = acc_ref[r] * corr_p + a_new * corr_n
-                    m_ref[r] = m_tot
-                else:                                 # single K tile: direct
-                    o_ref[b, h] = (a_new / jnp.maximum(l_new, 1e-30)
-                                   ).astype(o_ref.dtype)
-
-        if multi_k:
             @pl.when(ik == pl.num_programs(1) - 1)
             def _():
-                for b in range(bb):
-                    for h in range(H):
-                        r = slice((b * H + h) * Sp, (b * H + h + 1) * Sp)
-                        o_ref[b, h] = (
-                            acc_ref[r] / jnp.maximum(l_sum_ref[r], 1e-30)
-                        ).astype(o_ref.dtype)
+                o_ref[:] = (acc_ref[:] / jnp.maximum(l_sum_ref[:], 1e-30)
+                            ).reshape(o_ref.shape).astype(o_ref.dtype)
+        else:                                         # single K tile: direct
+            out = a_new / jnp.maximum(l_new, 1e-30)
+            o_ref[:] = out.reshape(o_ref.shape).astype(o_ref.dtype)
 
     return kernel
 

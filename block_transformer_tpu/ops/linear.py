@@ -20,10 +20,12 @@ pays off. Prefill-sized M (batch x chunk rows, e.g. 32768 at b256) is
 compute-bound on the MXU — XLA's fused convert+dot tiles those shapes
 better, and the quantized weights only cost one in-flight convert.
 
-Env switches (measured defaults; see scripts/kernel_microbench.py):
-  BT_PALLAS_INT8=0    disable the Pallas int8 kernel (XLA convert+dot)
+Env switches (measured defaults; see RESULTS.md kernel-dispatch table):
+  BT_PALLAS_INT8=1    enable the Pallas int8 kernel (default: XLA
+                      convert+dot, which measured faster at every M)
   BT_PALLAS_INT4=0    disable the Pallas int4 kernel (XLA dequant+dot)
   BT_PALLAS_M_MAX=n   Pallas/XLA crossover row count (default 512)
+  BT_PALLAS_QKV=1     allow the int8 kernel on the fused-QKV (N=3K) shape
 """
 
 from __future__ import annotations
@@ -50,12 +52,30 @@ def _on_tpu() -> bool:
         return False
 
 
-def _use_pallas(kind: str, m: int) -> bool:
+# Measured defaults (bench.py ablations, b256 p2048/d128 int8+int8KV,
+# v5e via this platform — see RESULTS.md "Kernel dispatch" table):
+#   INT8: XLA's fused convert+dot wins at every M (10,911 vs 10,528 tok/s
+#         end-to-end even with Pallas restricted to its best shapes), so
+#         the Pallas int8 kernel is opt-in (BT_PALLAS_INT8=1).
+#   INT4: the Pallas kernel is the default at decode M — XLA has no fused
+#         int4 path (its fallback materializes the dequantized weight).
+_DEFAULTS = {"INT8": "0", "INT4": "1"}
+
+
+def _use_pallas(kind: str, m: int, k: int = 0, n: int = 0) -> bool:
     if not _on_tpu():
         return False
-    if os.environ.get(f"BT_PALLAS_{kind}", "1") == "0":
+    if os.environ.get(f"BT_PALLAS_{kind}", _DEFAULTS[kind]) == "0":
         return False
-    return m <= int(os.environ.get("BT_PALLAS_M_MAX", "512"))
+    if m > int(os.environ.get("BT_PALLAS_M_MAX", "512")):
+        return False
+    # int8 fused-QKV shape (N = 3K): the one decode shape where the Pallas
+    # stream loses its microbench outright (25.6us vs 7.5us) — excluded
+    # even when BT_PALLAS_INT8=1. (INT4 wins this shape; not excluded.)
+    if (kind == "INT8" and n == 3 * k
+            and os.environ.get("BT_PALLAS_QKV", "0") != "1"):
+        return False
+    return True
 
 
 def _slice(a, i):
@@ -97,7 +117,7 @@ def _apply_stacked(x, node, layer, use_pallas):
     elif "kernel_q8" in node:
         _, K, N = node["kernel_q8"].shape
         ok = use_pallas if use_pallas is not None else (
-            _use_pallas("INT8", x2.shape[0])
+            _use_pallas("INT8", x2.shape[0], K, N)
             and K % 128 == 0 and N % 128 == 0)
         if ok:
             from block_transformer_tpu.ops import dequant_matmul
@@ -113,7 +133,7 @@ def _apply_stacked(x, node, layer, use_pallas):
         _, Kh, N = node["kernel_q4"].shape
         G = node["scale"].shape[1] if node["scale"].ndim == 3 else 1
         ok = use_pallas if use_pallas is not None else (
-            _use_pallas("INT4", x2.shape[0])
+            _use_pallas("INT4", x2.shape[0], 2 * Kh, N)
             and Kh % 128 == 0 and N % 128 == 0
             and (G == 1 or (2 * Kh // G) % 128 == 0))
         if ok:
@@ -135,7 +155,7 @@ def _int8_matmul(x, w_q, scale, use_pallas):
     K, N = w_q.shape
     x2, lead = _flat(x)
     if use_pallas is None:
-        use_pallas = (_use_pallas("INT8", x2.shape[0])
+        use_pallas = (_use_pallas("INT8", x2.shape[0], K, N)
                       and K % 128 == 0 and N % 128 == 0)
     if use_pallas:
         from block_transformer_tpu.ops import dequant_matmul
@@ -152,7 +172,7 @@ def _int4_matmul(x, w_p, scale, use_pallas):
     G = scale.shape[0] if scale.ndim == 2 else 1
     x2, lead = _flat(x)
     if use_pallas is None:
-        use_pallas = (_use_pallas("INT4", x2.shape[0])
+        use_pallas = (_use_pallas("INT4", x2.shape[0], 2 * Kh, N)
                       and Kh % 128 == 0 and N % 128 == 0
                       and (G == 1 or (2 * Kh // G) % 128 == 0))
     if use_pallas:

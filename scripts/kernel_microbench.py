@@ -224,6 +224,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=32)
     ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--attn_only", action="store_true")
     ap.add_argument("--out", default="MICROBENCH.json")
     ap.add_argument("--cpu_interpret", action="store_true",
                     help="smoke the harness on CPU (tiny shapes, interpret)")
@@ -257,14 +258,14 @@ def main():
                 json.dump({"results": results,
                            "platform": str(jax.devices()[0])}, f, indent=2)
 
-        for (L, M, K, N) in shapes:
+        for (L, M, K, N) in ([] if args.attn_only else shapes):
             bench_int8_matmul(results, L, M, K, N, it, dtype)
             bench_int4_matmul(results, L, M, K, N, it, dtype)
             print(f"[microbench] matmuls K{K} N{N} done", flush=True)
             flush()
         bench_decode_attention(results, 12, 256, 16, 640, 128, 1, it, dtype)
         flush()
-        if not args.quick:
+        if not args.quick and not args.attn_only:
             bench_decode_attention(results, 12, 64, 16, 640, 128, 1, it, dtype)
             flush()
             bench_flash_prefill(results, 8, 16, 2048, 128, max(4, it // 8),

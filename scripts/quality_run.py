@@ -292,6 +292,8 @@ def main():
     ap.add_argument("--eval_samples", type=int, default=256)
     ap.add_argument("--eval_batch", type=int, default=16)
     ap.add_argument("--skip_train", action="store_true")
+    ap.add_argument("--int4_group", type=int, default=128,
+                    help="INT4 group size (input rows per scale)")
     args = ap.parse_args()
 
     import jax
@@ -355,7 +357,8 @@ def main():
     ds_hold_van = make_dataset(holdout, args.max_length, 1, seed=7)
 
     q8 = quant.quantize_block_transformer(block_params, bits=8)
-    q4 = quant.quantize_block_transformer(block_params, bits=4)
+    q4 = quant.quantize_block_transformer(block_params, bits=4,
+                                          group_size=args.int4_group)
 
     results = {"steps": args.steps, "batch": args.batch,
                "max_length": args.max_length,
