@@ -236,9 +236,10 @@ def bench_engine(model_name: str, n_slots: int, prefill: int, decode: int,
             p, bits=8 if quantize == "int8" else 4))(params)
     L = cfg.block_length
     max_blocks = (prefill + decode) // L + 2
-    eng = ContinuousBatchingEngine(params, cfg, n_slots=n_slots,
-                                   max_blocks=max_blocks, kv_cache=kv_cache,
-                                   bucket_blocks=prefill // L)
+    eng = ContinuousBatchingEngine(
+        params, cfg, n_slots=n_slots, max_blocks=max_blocks,
+        kv_cache=kv_cache, bucket_blocks=prefill // L,
+        sync_blocks=int(os.environ.get("BT_ENGINE_SYNC_BLOCKS", "8")))
     rng = np.random.default_rng(0)
 
     def submit_all():

@@ -81,7 +81,7 @@ class ContinuousBatchingEngine:
                  max_blocks: int = 512, greedy: bool = True,
                  temperature: float = 1.0, top_k: int = 0, top_p: float = 1.0,
                  kv_cache: str = "bf16", bucket_blocks: int = 64,
-                 seed: int = 0):
+                 sync_blocks: int = 4, seed: int = 0):
         self.params = params
         self.cfg = cfg
         self.n_slots = n_slots
@@ -91,6 +91,10 @@ class ContinuousBatchingEngine:
         self.top_k = top_k
         self.top_p = top_p
         self.bucket_blocks = max(1, bucket_blocks)
+        # blocks decoded per host sync: admission latency granularity vs
+        # device->host roundtrips (the tunnel's per-sync latency dominated
+        # the per-block engine at 17% of static throughput)
+        self.sync_blocks = max(1, sync_blocks)
         n = cfg.n_embedding_tokens
         ph = cfg.embedder.projection_hidden_size
         # activation dtype: follow a (never-quantized) embedder table — the
@@ -194,33 +198,36 @@ class ContinuousBatchingEngine:
     def _make_decode(self):
         cfg = self.cfg
         n = cfg.n_embedding_tokens
+        L = cfg.block_length
         cap = self.cap
+        I = self.sync_blocks
 
-        @jax.jit
-        def decode_step(params, cache, kv_valid, next_embeds, slot_len,
-                        active_mask, key):
-            """One block for every active slot. Per-slot write offsets feed
+        def one_block(params, carry, _):
+            """One block for every live slot. Per-slot write offsets feed
             ``neox_stack(write_pos=...)`` — in-place scatter on the carried
             cache, same numerics as static-batch decode."""
+            (cache, kv_valid, next_embeds, slot_len, alive,
+             blocks_left, key) = carry
             B = next_embeds.shape[0]
+            live = alive & (blocks_left > 0)
             key, kb = jax.random.split(key)
             tokens, inner_alive = gen.decode_block_tokens(
                 params, cfg, next_embeds, greedy=self.greedy,
                 temperature=self.temperature, top_k=self.top_k,
                 top_p=self.top_p, key=kb)
-            tokens = jnp.where(active_mask[:, None], tokens, cfg.pad_token_id)
-            has_eos = active_mask & ~inner_alive
+            tokens = jnp.where(live[:, None], tokens, cfg.pad_token_id)
+            has_eos = live & ~inner_alive
 
             # embed the new block and run the block decoder one step per slot
             new_be = emb.embed_blocks(params["embedder"], cfg.embedder,
-                                      cfg.block_length, tokens)  # [B, n, ph]
-            new_be = jnp.where(active_mask[:, None, None], new_be, 0.0)
+                                      L, tokens)                 # [B, n, ph]
+            new_be = jnp.where(live[:, None, None], new_be, 0.0)
 
             # per-slot positions: q position = slot_len (in blocks)
             q_idx = jnp.broadcast_to(slot_len[:, None], (B, n))  # block ids
             kv_idx = (jnp.arange(cap, dtype=jnp.int32) // n)
             write_pos = slot_len * n
-            valid_new = active_mask.astype(jnp.int32)
+            valid_new = live.astype(jnp.int32)
             kv_valid2 = _scatter_valid(kv_valid, write_pos, valid_new, n)
             mask = masks.AttnMask(q_idx, kv_idx, kv_valid2)
             positions = write_pos[:, None] + jnp.arange(n, dtype=jnp.int32)[None]
@@ -230,13 +237,34 @@ class ContinuousBatchingEngine:
                 cfg=cfg.block_decoder, mask=mask, positions=positions,
                 cache=cache, write_pos=write_pos)
             next_embeds2 = hidden[:, -n:, :].astype(next_embeds.dtype)
-            next_embeds2 = jnp.where(active_mask[:, None, None],
+            next_embeds2 = jnp.where(live[:, None, None],
                                      next_embeds2, next_embeds)
-            slot_len2 = slot_len + valid_new
-            return (tokens, has_eos, cache2, kv_valid2, next_embeds2,
-                    slot_len2, key)
+            carry = (cache2, kv_valid2, next_embeds2,
+                     slot_len + valid_new, alive & inner_alive,
+                     blocks_left - valid_new, key)
+            return carry, (tokens, has_eos)
 
-        return decode_step
+        @jax.jit
+        def decode_window(params, cache, kv_valid, next_embeds, slot_len,
+                          active_mask, blocks_left, key):
+            """``sync_blocks`` block steps in ONE dispatch. The host syncs
+            (device->host token copy over the tunnel, ~tens of ms of
+            latency) once per window instead of once per block — the
+            per-block sync measured the engine at 17% of static-batch
+            throughput. EOS and per-slot token budgets are masked
+            device-side so a finished slot stops paying inside the window.
+            """
+            import functools
+            carry = (cache, kv_valid, next_embeds, slot_len,
+                     active_mask, blocks_left, key)
+            carry, (tokens, has_eos) = jax.lax.scan(
+                functools.partial(one_block, params), carry, None, length=I)
+            (cache, kv_valid, next_embeds, slot_len, _, _, key) = carry
+            # tokens: [I, B, L] -> [B, I, L]; has_eos: [I, B] -> [B, I]
+            return (tokens.transpose(1, 0, 2), has_eos.T, cache, kv_valid,
+                    next_embeds, slot_len, key)
+
+        return decode_window
 
     # ------------------------------------------------------------------
     def _admit(self):
@@ -272,37 +300,46 @@ class ContinuousBatchingEngine:
             self.stats.prompts_admitted += 1
 
     def step(self):
-        """Admit waiting prompts, then decode one block for all active."""
+        """Admit waiting prompts, then decode a ``sync_blocks`` window for
+        all active slots with ONE device dispatch + ONE host sync."""
         self._admit()
         if not self.active:
             return
+        L = self.cfg.block_length
         active_mask = np.zeros((self.n_slots,), bool)
-        for s in self.active:
+        blocks_left = np.zeros((self.n_slots,), np.int32)
+        for s, req in self.active.items():
             active_mask[s] = True
+            blocks_left[s] = -(-(req.max_new_tokens - len(req.generated)) // L)
         (tokens, has_eos, self.cache, self.kv_valid, self.next_embeds,
          self.slot_len, self.key) = self._decode(
             self.params, self.cache, self.kv_valid, self.next_embeds,
-            self.slot_len, jnp.asarray(active_mask), self.key)
-        tokens = np.asarray(tokens)
-        has_eos = np.asarray(has_eos)
+            self.slot_len, jnp.asarray(active_mask),
+            jnp.asarray(blocks_left), self.key)
+        tokens = np.asarray(tokens)        # [B, sync_blocks, L] — the sync
+        has_eos = np.asarray(has_eos)      # [B, sync_blocks]
         self.stats.steps += 1
 
         finished = []
         for s, req in list(self.active.items()):
-            block = [int(t) for t in tokens[s]]
-            # trim tokens after EOS/pad and respect max_new_tokens
-            remaining = req.max_new_tokens - len(req.generated)
-            emit = []
-            for t in block[:remaining]:
-                if t == self.cfg.pad_token_id and has_eos[s]:
+            eos = False
+            for i in range(tokens.shape[1]):
+                if eos or len(req.generated) >= req.max_new_tokens:
                     break
-                emit.append(t)
-            req.generated.extend(emit)
-            self.stats.tokens_generated += len(emit)
-            self.stats.tokens_wasted += len(block) - len(emit)
-            if req.stream:
-                req.stream(req.uid, emit)
-            if has_eos[s] or len(req.generated) >= req.max_new_tokens:
+                block = [int(t) for t in tokens[s, i]]
+                remaining = req.max_new_tokens - len(req.generated)
+                emit = []
+                for t in block[:remaining]:
+                    if t == self.cfg.pad_token_id and has_eos[s, i]:
+                        break
+                    emit.append(t)
+                req.generated.extend(emit)
+                self.stats.tokens_generated += len(emit)
+                self.stats.tokens_wasted += len(block) - len(emit)
+                if req.stream:
+                    req.stream(req.uid, emit)
+                eos = bool(has_eos[s, i])
+            if eos or len(req.generated) >= req.max_new_tokens:
                 req.done = True
                 finished.append(s)
         for s in finished:

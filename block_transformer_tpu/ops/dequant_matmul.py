@@ -166,10 +166,10 @@ def _int4_kernel(l_ref, x_lo_ref, x_hi_ref, w_ref, s_lo_ref, s_hi_ref,
     # the tile's integer partial product exactly.
     acc_ref[:] += (jnp.dot(x_lo_ref[:], w_lo,
                            preferred_element_type=jnp.float32)
-                   * s_lo_ref[0].astype(jnp.float32))
+                   * s_lo_ref[0, 0].astype(jnp.float32))
     acc_ref[:] += (jnp.dot(x_hi_ref[:], w_hi,
                            preferred_element_type=jnp.float32)
-                   * s_hi_ref[0].astype(jnp.float32))
+                   * s_hi_ref[0, 0].astype(jnp.float32))
 
     @pl.when(k == pl.num_programs(2) - 1)
     def _():
@@ -213,11 +213,14 @@ def int4_matmul_stacked(x, w_p, scale, layer, *, bm: int = 256,
 
     nkb = Kh // bk
     grid = (Mp // bm, N // bn, nkb)
+    # scales carry a singleton axis before N so the block's last-two dims
+    # are (1, bn) — Mosaic requires dim -2 of a block to divide 8 or equal
+    # the array dim, which a (1, 1, bn) block over [L, G>1, N] violates
     if G == 1:
-        s_lo_map = s_hi_map = lambda i, j, k, l: (l[0], 0, j)
+        s_lo_map = s_hi_map = lambda i, j, k, l: (l[0], 0, 0, j)
     else:
-        s_lo_map = lambda i, j, k, l: (l[0], (k * bk) // gs, j)
-        s_hi_map = lambda i, j, k, l: (l[0], (k * bk + Kh) // gs, j)
+        s_lo_map = lambda i, j, k, l: (l[0], (k * bk) // gs, 0, j)
+        s_hi_map = lambda i, j, k, l: (l[0], (k * bk + Kh) // gs, 0, j)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=grid,
@@ -232,8 +235,8 @@ def int4_matmul_stacked(x, w_p, scale, layer, *, bm: int = 256,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bk, bn), lambda i, j, k, l: (l[0], k, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, bn), s_lo_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, bn), s_hi_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, bn), s_lo_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, bn), s_hi_map, memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((bm, bn), lambda i, j, k, l: (i, j),
                                memory_space=pltpu.VMEM),
@@ -250,7 +253,8 @@ def int4_matmul_stacked(x, w_p, scale, layer, *, bm: int = 256,
             bytes_accessed=Mp * K * x.dtype.itemsize + Kh * N + Mp * N * 2,
             transcendentals=0),
         interpret=interpret,
-    )(jnp.asarray(layer, jnp.int32).reshape(1), x, x, w_p, scale, scale)
+    )(jnp.asarray(layer, jnp.int32).reshape(1), x, x, w_p,
+      scale[:, :, None, :], scale[:, :, None, :])
     return out[:M]
 
 
