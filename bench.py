@@ -81,10 +81,17 @@ def bench_block(model_name: str, batch, prefill: int, decode: int,
         "times_s": [round(t, 4) for t in times],
     }
     if os.environ.get("BT_BENCH_DECOMP", "1") != "0":
+        # diagnostic stage timings at batch<=128: the XLA-dequant block
+        # stage materializes transient bf16 K/V and OOMs when probed in
+        # isolation at b256 (in the real program XLA schedules it within
+        # budget); per-block-step times scale ~linearly in batch
+        dbatch = min(batch, int(os.environ.get("BT_BENCH_DECOMP_BATCH",
+                                               "128")))
         try:
-            detail.update(_two_level_decomposition(params, cfg, batch,
-                                                   prefill, decode, dtype,
-                                                   kv_cache))
+            d = _two_level_decomposition(params, cfg, dbatch, prefill,
+                                         decode, dtype, kv_cache)
+            d["decomposition_batch"] = dbatch
+            detail.update(d)
         except Exception as e:  # decomposition is diagnostic, not the metric
             detail["decomposition_error"] = str(e)[:200]
     decode_tokens = batch * decode
@@ -251,10 +258,14 @@ def bench_engine(model_name: str, n_slots: int, prefill: int, decode: int,
     tokens0 = eng.stats.tokens_generated
     submit_all()
     t0 = time.perf_counter()
+    eng._admit()                            # batched prefill of all slots
+    jax.block_until_ready(eng.next_embeds)
+    t_admit = time.perf_counter() - t0
     eng.run()
     dt = time.perf_counter() - t0
     produced = eng.stats.tokens_generated - tokens0
     return produced / dt, {"engine_tokens": produced, "engine_time_s": dt,
+                           "engine_admit_s": t_admit,
                            "n_slots": n_slots,
                            "tokens_wasted": eng.stats.tokens_wasted}
 
