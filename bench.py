@@ -28,7 +28,7 @@ def _enable_compile_cache():
 
 def bench_block(model_name: str, batch, prefill: int, decode: int,
                 dtype_str: str = "bfloat16", quantize: str = None,
-                kv_cache: str = "bf16"):
+                kv_cache: str = "bf16", attn_impl: str = None):
     import jax
     import jax.numpy as jnp
     from block_transformer_tpu.config import get_config
@@ -38,6 +38,16 @@ def bench_block(model_name: str, batch, prefill: int, decode: int,
 
     dtype = jnp.bfloat16 if dtype_str == "bfloat16" else jnp.float32
     cfg = get_config(model_name)
+    if attn_impl:
+        import dataclasses
+        cfg = dataclasses.replace(
+            cfg,
+            block_decoder=dataclasses.replace(cfg.block_decoder,
+                                              attn_impl=attn_impl),
+            token_decoder=dataclasses.replace(
+                cfg.token_decoder,
+                neox=dataclasses.replace(cfg.token_decoder.neox,
+                                         attn_impl=attn_impl)))
     if quantize and quantize != "none":
         from block_transformer_tpu.ops import quant
     if batch == "auto":
@@ -289,6 +299,9 @@ def main():
                     "point: int8 weights + int8 KV)")
     ap.add_argument("--kv", choices=["bf16", "int8"], default="int8",
                     help="global block-level KV cache dtype")
+    ap.add_argument("--attn_impl", choices=["xla", "pallas"], default=None,
+                    help="attention backend override (pallas = flash "
+                    "kernel where shapes allow, e.g. prefill chunks)")
     ap.add_argument("--engine", action="store_true",
                     help="also benchmark the continuous-batching engine")
     ap.add_argument("--engine_slots", type=int, default=16)
@@ -300,7 +313,7 @@ def main():
     _enable_compile_cache()
     block_tps, block_batch, block_detail = bench_block(
         args.model, args.batch, args.prefill, args.decode, args.dtype,
-        args.quantize, args.kv)
+        args.quantize, args.kv, args.attn_impl)
     print(f"[bench] block: {block_tps:.1f} tok/s at b{block_batch} "
           f"(std {block_detail['std_s']:.3f}s over {block_detail['reps']}; "
           f"{block_detail['ms_per_token']:.4f} ms/tok; decomposition: "
