@@ -135,3 +135,27 @@ def test_engine_bucketing_matches_generate():
         got = all_reqs[uid].generated
         want = _reference_generation(params, cfg, p, max_new)[: len(got)]
         assert got == want, (got, want)
+
+
+def test_engine_uneven_budgets_and_windows():
+    """max_new_tokens not aligned to sync windows or block boundaries:
+    device-side blocks_left must stop each slot at its own budget, and the
+    pipelined run must attribute every token to the right request."""
+    cfg, params = _setup(seed=5)
+    rng = np.random.default_rng(5)
+    prompts = [rng.integers(1, VOCAB, size=n) for n in (8, 4, 12, 8)]
+    budgets = [3, 9, 5, 14]          # none a multiple of block_length=4
+    eng = ContinuousBatchingEngine(params, cfg, n_slots=2, max_blocks=16,
+                                   sync_blocks=3)
+    for p, m in zip(prompts, budgets):
+        eng.submit(p, m)
+    all_reqs = list(eng.waiting)
+    eng.run(max_steps=100)
+    assert not eng.has_work()
+    assert eng.stats.prompts_finished == 4
+    for p, m, req in zip(prompts, budgets, all_reqs):
+        want = _reference_generation(params, cfg, p, m)
+        got = req.generated
+        assert len(got) <= m
+        k = min(len(got), len(want))
+        assert k > 0 and got[:k] == want[:k], (m, got, want)
