@@ -2,10 +2,20 @@
 
 The BASELINE.json "fused INT8 KV dequant" kernel: during decode the query
 is tiny (1..8 positions) while the cached K/V span the full capacity, so
-the HBM cost is reading the cache. With ``QuantKVCache`` the XLA path first
-materializes a bf16 copy of each layer's K/V (write + re-read ≈ 3x the
-cache bytes); this kernel streams the int8 tiles into VMEM and widens them
-in-register instead — the cache is read once, at half the bf16 bytes.
+the HBM cost is reading the cache. This kernel streams the int8 tiles
+into VMEM and widens them in-register — the cache is read once, at half
+the bf16 bytes.
+
+**Status (measured, see RESULTS.md):** opt-in via BT_FUSED_KV_ATTN=1.
+XLA's own lowering of the fallback path (models/neox.py dequant +
+attention) turns out to fuse the int8->bf16 convert into the attention
+dots without materializing the cache, and measures 0.90 ms/layer at
+b128/cap640 — exactly the 335MB cache read at this platform's ~370 GB/s
+effective bandwidth, i.e. the bandwidth roofline. This kernel reaches
+1.27 ms/layer (limited by its 2*bb*H small per-(batch, head) MXU
+matmuls, which exceed the tile DMA time and can't hide under it), so
+the XLA path is the default. The kernel remains the reference
+implementation for platforms where XLA does materialize the dequant.
 
 Round-2 design (vs the gated round-1 kernel):
 
@@ -208,6 +218,15 @@ def _decode_attn(q, k_q, k_s, v_q, v_s, layer, q_idx, kv_idx, kv_valid, *,
 _VMEM_LIMIT = 13 * 1024 * 1024
 
 
+def _vmem_limit() -> int:
+    """Estimator budget; raise together with XLA's scoped-vmem ceiling
+    (XLA_FLAGS=--xla_tpu_scoped_vmem_limit_kib=...) via BT_ATTN_VMEM_MB
+    to unlock larger batch tiles."""
+    import os
+    mb = os.environ.get("BT_ATTN_VMEM_MB")
+    return int(mb) * 1024 * 1024 if mb else _VMEM_LIMIT
+
+
 def _pick_tiles(B: int, H: int, K: int, D: int, itemsize: int,
                 quantized: bool, Sp: int = 8):
     """(bk, bb): choose the K tile and batch tile maximizing the per-step
@@ -230,7 +249,7 @@ def _pick_tiles(B: int, H: int, K: int, D: int, itemsize: int,
     best = None
     for bk in bks:
         for bb in range(min(8, B), 0, -1):
-            if B % bb or step_bytes(bb, bk) > _VMEM_LIMIT:
+            if B % bb or step_bytes(bb, bk) > _vmem_limit():
                 continue
             if best is None or bb * bk > best[0] * best[1]:
                 best = (bb, bk)
