@@ -59,8 +59,10 @@ def bench_block(model_name: str, batch, prefill: int, decode: int,
     params = jax.jit(lambda k: bt.init_block_transformer_params(
         k, cfg, dtype=dtype))(jax.random.PRNGKey(0))
     if quantize and quantize != "none":
+        skip_head = os.environ.get("BT_SKIP_QUANT_HEAD", "0") == "1"
         params = jax.jit(lambda p: quant.quantize_block_transformer(
-            p, bits=8 if quantize == "int8" else 4))(params)
+            p, bits=8 if quantize == "int8" else 4,
+            skip_lm_head=skip_head))(params)
     L = cfg.block_length
     N = prefill // L
     max_blocks = (prefill + decode) // L
@@ -250,7 +252,9 @@ def bench_engine(model_name: str, n_slots: int, prefill: int, decode: int,
     if quantize and quantize != "none":
         from block_transformer_tpu.ops import quant
         params = jax.jit(lambda p: quant.quantize_block_transformer(
-            p, bits=8 if quantize == "int8" else 4))(params)
+            p, bits=8 if quantize == "int8" else 4,
+            skip_lm_head=os.environ.get("BT_SKIP_QUANT_HEAD",
+                                        "0") == "1"))(params)
     L = cfg.block_length
     max_blocks = (prefill + decode) // L + 2
     eng = ContinuousBatchingEngine(

@@ -52,27 +52,37 @@ def _on_tpu() -> bool:
         return False
 
 
-# Measured defaults (bench.py ablations, b256 p2048/d128 int8+int8KV,
-# v5e via this platform — see RESULTS.md "Kernel dispatch" table):
-#   INT8: XLA's fused convert+dot wins at every M (10,911 vs 10,528 tok/s
-#         end-to-end even with Pallas restricted to its best shapes), so
-#         the Pallas int8 kernel is opt-in (BT_PALLAS_INT8=1).
-#   INT4: the Pallas kernel is the default at decode M — XLA has no fused
-#         int4 path (its fallback materializes the dequantized weight).
-_DEFAULTS = {"INT8": "0", "INT4": "1"}
+# Measured defaults (bench.py ablations + profiler traces, b256
+# p2048/d128 int8+int8KV, v5e via this platform — RESULTS.md tables):
+#   INT8 stacked (layer-scanned weights): XLA's convert+dot fuses the
+#         dequant into the dot and wins at every M (10,911 vs 10,528
+#         tok/s even with Pallas restricted to its best shapes) —
+#         Pallas opt-in via BT_PALLAS_INT8=1.
+#   INT8 unstacked (LM head / expansion): raced separately
+#         (BT_PALLAS_INT8_SINGLE=1): the N=50304 head tiles poorly for
+#         the Pallas stream (bn snaps to 384 -> 524 grid steps) and
+#         measured 10,839 vs 10,912 tok/s, so XLA stays the default here
+#         too. (An unquantized bf16 head — quantize_block_transformer
+#         skip_lm_head — also measured neutral: 10,860.)
+#   INT4: the Pallas kernel is the default at decode M — XLA has no
+#         fused int4 path at all.
+_DEFAULTS = {"INT8": "0", "INT8_SINGLE": "0", "INT4": "1"}
 
 
-def _use_pallas(kind: str, m: int, k: int = 0, n: int = 0) -> bool:
+def _use_pallas(kind: str, m: int, k: int = 0, n: int = 0,
+                stacked: bool = True) -> bool:
     if not _on_tpu():
         return False
-    if os.environ.get(f"BT_PALLAS_{kind}", _DEFAULTS[kind]) == "0":
+    env_kind = "INT8_SINGLE" if kind == "INT8" and not stacked else kind
+    if os.environ.get(f"BT_PALLAS_{env_kind}",
+                      _DEFAULTS[env_kind]) == "0":
         return False
     if m > int(os.environ.get("BT_PALLAS_M_MAX", "512")):
         return False
     # int8 fused-QKV shape (N = 3K): the one decode shape where the Pallas
     # stream loses its microbench outright (25.6us vs 7.5us) — excluded
     # even when BT_PALLAS_INT8=1. (INT4 wins this shape; not excluded.)
-    if (kind == "INT8" and n == 3 * k
+    if (kind == "INT8" and stacked and n == 3 * k
             and os.environ.get("BT_PALLAS_QKV", "0") != "1"):
         return False
     return True
@@ -155,7 +165,7 @@ def _int8_matmul(x, w_q, scale, use_pallas):
     K, N = w_q.shape
     x2, lead = _flat(x)
     if use_pallas is None:
-        use_pallas = (_use_pallas("INT8", x2.shape[0], K, N)
+        use_pallas = (_use_pallas("INT8", x2.shape[0], K, N, stacked=False)
                       and K % 128 == 0 and N % 128 == 0)
     if use_pallas:
         from block_transformer_tpu.ops import dequant_matmul
@@ -172,7 +182,8 @@ def _int4_matmul(x, w_p, scale, use_pallas):
     G = scale.shape[0] if scale.ndim == 2 else 1
     x2, lead = _flat(x)
     if use_pallas is None:
-        use_pallas = (_use_pallas("INT4", x2.shape[0], 2 * Kh, N)
+        use_pallas = (_use_pallas("INT4", x2.shape[0], 2 * Kh, N,
+                                  stacked=False)
                       and Kh % 128 == 0 and N % 128 == 0
                       and (G == 1 or (2 * Kh // G) % 128 == 0))
     if use_pallas:

@@ -145,7 +145,8 @@ def quantize_model_params(params, bits: int = 8, skip_paths=(),
     return walk(params, ())
 
 
-def quantize_block_transformer(params, bits: int = 8, group_size: int = 128):
+def quantize_block_transformer(params, bits: int = 8, group_size: int = 128,
+                               skip_lm_head: bool = False):
     """Quantize a block-transformer param tree for inference.
 
     Dense kernels in both decoder stacks + LM head + expansion go to
@@ -153,10 +154,20 @@ def quantize_block_transformer(params, bits: int = 8, group_size: int = 128):
     layer norms / biases stay full precision. INT4 uses group-wise scales
     (``group_size`` input rows per scale) — the per-channel-only variant
     measured +1.5% ppl and fails the <=0.5% gate (QUALITY.md).
+
+    ``skip_lm_head=True`` keeps ``token_decoder.embed_out`` in activation
+    precision: XLA will not hoist the head's dequant out of the decode
+    loop (206MB materialized bf16 per step at 1.2B — profiled at 28% of
+    the token-decoder stage), so an unquantized read-only head streams
+    fewer bytes per step than a quantized one, and is strictly better for
+    quality (the INT4 gate config in QUALITY.md pairs int4 bodies with a
+    higher-precision head for the same reason).
     """
+    skip = ("embed_out",) if skip_lm_head else ()
     out = dict(params)
     out["block_decoder"] = quantize_model_params(
         params["block_decoder"], bits, group_size=group_size)
     out["token_decoder"] = quantize_model_params(
-        params["token_decoder"], bits, group_size=group_size)
+        params["token_decoder"], bits, group_size=group_size,
+        skip_paths=skip)
     return out
