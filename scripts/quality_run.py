@@ -292,6 +292,9 @@ def main():
     ap.add_argument("--eval_samples", type=int, default=256)
     ap.add_argument("--eval_batch", type=int, default=16)
     ap.add_argument("--skip_train", action="store_true")
+    ap.add_argument("--train_only", action="store_true",
+                    help="run phases 1-2 (training) and exit — e.g. train "
+                    "on the TPU, then eval with --skip_train --cpu")
     ap.add_argument("--int4_group", type=int, default=128,
                     help="INT4 group size (input rows per scale)")
     args = ap.parse_args()
@@ -319,6 +322,9 @@ def main():
         print("[quality] phase 2: train vanilla_31")
         train_vanilla(args, vcfg)
         print(f"[quality] vanilla trained ({time.time()-t0:.0f}s)")
+    if args.train_only:
+        print("[quality] --train_only: done")
+        return
 
     # load final params from checkpoints (restore the full TrainState shape
     # the trainer saved — same optimizer settings — then keep params)
