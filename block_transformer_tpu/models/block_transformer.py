@@ -71,7 +71,8 @@ def _token_ce(logits, labels, weight):
 def block_transformer_forward(params, cfg: BlockTransformerConfig,
                               input_ids, attention_mask, block_attention_mask,
                               labels=None, compute_logits: bool = None,
-                              remat: bool = False) -> BlockTransformerOutput:
+                              remat: bool = False,
+                              block_decoder_fn=None) -> BlockTransformerOutput:
     """input_ids/attention_mask: [B, N, L]; block_attention_mask: [B, N];
     labels: [B, N, L] with -100 on ignored positions (or None for eval).
 
@@ -91,13 +92,21 @@ def block_transformer_forward(params, cfg: BlockTransformerConfig,
     # [B, N, n_emb, ph]
     ph = cfg.embedder.projection_hidden_size
     inputs_embeds = block_embeds.reshape(B, N * n_emb, ph)
+    # sequence parallelism: keep the block axis sharded over the ambient
+    # mesh's ``seq`` axis (no-op otherwise) — parallel/sharding.seq_constraint
+    from block_transformer_tpu.parallel import sharding as _sh
+    inputs_embeds = _sh.seq_constraint(inputs_embeds)
 
     # ---- block decoding --------------------------------------------------
-    hidden = bd.block_decoder_forward(params["block_decoder"], cfg.block_decoder,
-                                      inputs_embeds, block_attention_mask,
-                                      n_emb, remat=remat,
-                                      cls=cfg.block_decoder_cls,
-                                      window=cfg.block_decoder_window)
+    # block_decoder_fn lets parallel/pipeline.py substitute the pp-scheduled
+    # stack without the model knowing about meshes
+    bd_forward = block_decoder_fn or bd.block_decoder_forward
+    hidden = bd_forward(params["block_decoder"], cfg.block_decoder,
+                        inputs_embeds, block_attention_mask,
+                        n_emb, remat=remat,
+                        cls=cfg.block_decoder_cls,
+                        window=cfg.block_decoder_window)
+    hidden = _sh.seq_constraint(hidden)
 
     block_loss = None
     if cfg.use_block_decoding_loss and labels is not None:

@@ -20,12 +20,25 @@ pays off. Prefill-sized M (batch x chunk rows, e.g. 32768 at b256) is
 compute-bound on the MXU — XLA's fused convert+dot tiles those shapes
 better, and the quantized weights only cost one in-flight convert.
 
+Prefill-sized INT8 matmuls (M >= BT_W8A8_M_MIN) additionally quantize the
+*activations* per row and issue a native s8 x s8 MXU dot (W8A8): the v5e
+MXU runs int8 at ~1.8x its bf16 rate, and at prefill M the matmul is
+compute-bound, so dynamic activation quant is a straight win (measured
+per-shape in scripts/w8a8_probe3.py: QKV 1.45x, MLP-up 1.58x, MLP-down
+1.17x, attn-out 1.24x). Decode-sized M stays on convert+dot / Pallas —
+there the matmul is weight-streaming-bound and extra quant work only adds
+latency. The path exists only for already-INT8 weights, so training (fp
+params) is never affected.
+
 Env switches (measured defaults; see RESULTS.md kernel-dispatch table):
   BT_PALLAS_INT8=1    enable the Pallas int8 kernel (default: XLA
                       convert+dot, which measured faster at every M)
   BT_PALLAS_INT4=0    disable the Pallas int4 kernel (XLA dequant+dot)
   BT_PALLAS_M_MAX=n   Pallas/XLA crossover row count (default 512)
   BT_PALLAS_QKV=1     allow the int8 kernel on the fused-QKV (N=3K) shape
+  BT_W8A8=0           disable W8A8 prefill matmuls (default: on for TPU
+                      int8-weight matmuls with M >= BT_W8A8_M_MIN)
+  BT_W8A8_M_MIN=n     W8A8 row-count threshold (default 2048)
 """
 
 from __future__ import annotations
@@ -92,6 +105,29 @@ def _slice(a, i):
     return jax.lax.dynamic_index_in_dim(a, i, 0, keepdims=False)
 
 
+def _use_w8a8(m: int) -> bool:
+    if not _on_tpu() or os.environ.get("BT_W8A8", "1") == "0":
+        return False
+    return m >= int(os.environ.get("BT_W8A8_M_MIN", "2048"))
+
+
+def _w8a8_dot(x2: jax.Array, w_q: jax.Array, scale: jax.Array) -> jax.Array:
+    """Dynamic per-row activation quant + native s8 x s8 MXU dot.
+
+    out = (round(x / sx) @ w_q) * sx * scale, sx = rowmax(|x|)/127.
+    The int8 dot runs at ~1.8x the bf16 MXU rate on v5e; the quant and
+    rescale are elementwise and fuse into neighbours. Numerics: activations
+    get ~7 bits per row (symmetric, dynamic), weights keep their
+    per-channel scale — measured end-to-end ppl impact in QUALITY.md.
+    """
+    amax = jnp.max(jnp.abs(x2), axis=-1, keepdims=True)
+    sx = amax.astype(jnp.float32) / 127.0 + 1e-12
+    xq = jnp.round(x2.astype(jnp.float32) / sx).astype(jnp.int8)
+    acc = jax.lax.dot_general(xq, w_q, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+    return (acc.astype(jnp.float32) * sx * scale).astype(x2.dtype)
+
+
 def apply_linear(x: jax.Array, p, use_pallas: bool = None) -> jax.Array:
     """x [..., K] @ params -> [..., N] (+ bias if present).
 
@@ -133,6 +169,9 @@ def _apply_stacked(x, node, layer, use_pallas):
             from block_transformer_tpu.ops import dequant_matmul
             out = dequant_matmul.int8_matmul_stacked(
                 x2, node["kernel_q8"], node["scale"], layer)
+        elif use_pallas is None and _use_w8a8(x2.shape[0]):
+            out = _w8a8_dot(x2, _slice(node["kernel_q8"], layer),
+                            _slice(node["scale"], layer))
         else:
             w = _slice(node["kernel_q8"], layer)
             s = _slice(node["scale"], layer)
@@ -164,12 +203,15 @@ def _apply_stacked(x, node, layer, use_pallas):
 def _int8_matmul(x, w_q, scale, use_pallas):
     K, N = w_q.shape
     x2, lead = _flat(x)
-    if use_pallas is None:
+    auto = use_pallas is None
+    if auto:
         use_pallas = (_use_pallas("INT8", x2.shape[0], K, N, stacked=False)
                       and K % 128 == 0 and N % 128 == 0)
     if use_pallas:
         from block_transformer_tpu.ops import dequant_matmul
         out = dequant_matmul.int8_matmul(x2, w_q, scale)
+    elif auto and _use_w8a8(x2.shape[0]):
+        out = _w8a8_dot(x2, w_q, scale)
     else:
         out = (jnp.dot(x2, w_q.astype(x.dtype),
                        preferred_element_type=jnp.float32)

@@ -23,14 +23,25 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def make_mesh(n_data: Optional[int] = None, n_model: Optional[int] = None,
-              devices=None, n_dcn: Optional[int] = None) -> Mesh:
+              devices=None, n_dcn: Optional[int] = None,
+              n_seq: Optional[int] = None) -> Mesh:
     """(data, model) mesh over ICI; pass ``n_dcn`` for a three-axis
     (dcn, data, model) mesh where the leading axis crosses hosts — batch
     shards over (dcn, data) so gradient/batch collectives ride the ICI
     within a slice and only the dcn-axis reduction crosses the datacenter
-    network (SURVEY.md §5.8)."""
+    network (SURVEY.md §5.8). ``n_seq`` inserts a sequence-parallel axis
+    between data and model: training activations shard their block axis
+    over ``seq`` (see seq_constraint) and XLA inserts the attention
+    all-gathers."""
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
+    if n_seq:
+        assert not n_dcn, "combine seq with dcn by extending this table"
+        n_model = n_model or 1
+        n_data = n_data or n // (n_seq * n_model)
+        assert n_data * n_seq * n_model == n, (n_data, n_seq, n_model, n)
+        dev = np.asarray(devices).reshape(n_data, n_seq, n_model)
+        return Mesh(dev, ("data", "seq", "model"))
     if n_dcn:
         n_per = n // n_dcn
         assert n_dcn * n_per == n, (n_dcn, n)
@@ -54,8 +65,28 @@ def make_mesh(n_data: Optional[int] = None, n_model: Optional[int] = None,
 
 
 def data_axes(mesh: Mesh) -> tuple:
-    """Every mesh axis that shards the batch (all but ``model``)."""
-    return tuple(a for a in mesh.axis_names if a != "model")
+    """Every mesh axis that shards the batch (all but ``model`` and the
+    activation-structure axes ``seq``/``pipe``)."""
+    return tuple(a for a in mesh.axis_names
+                 if a not in ("model", "seq", "pipe"))
+
+
+def seq_constraint(x: jax.Array, seq_dim: int = 1) -> jax.Array:
+    """Constrain ``x``'s sequence dimension onto the ambient mesh's ``seq``
+    axis (no-op when the mesh has none). Called at the block-decoder
+    boundaries so sequence-parallel training keeps long activations sharded
+    between attention layers instead of letting SPMD replicate them."""
+    try:
+        mesh = jax.sharding.get_abstract_mesh()
+    except Exception:
+        return x
+    if not mesh or "seq" not in getattr(mesh, "axis_names", ()):
+        return x
+    spec = [None] * x.ndim
+    spec[0] = data_axes(mesh) or None
+    spec[seq_dim] = "seq"
+    return jax.lax.with_sharding_constraint(
+        x, P(*[tuple(s) if isinstance(s, tuple) else s for s in spec]))
 
 
 # ---------------------------------------------------------------------------
@@ -121,6 +152,10 @@ def param_shardings(mesh: Mesh, params):
 
 
 def batch_pspec(mesh: Optional[Mesh] = None) -> P:
+    """Spec for [B, N, ...] batch tensors: B over the data axes, and — when
+    the mesh carries a ``seq`` axis — the block axis N over ``seq``."""
+    if mesh is not None and "seq" in mesh.axis_names:
+        return P(data_axes(mesh), "seq")
     if mesh is not None and "dcn" in mesh.axis_names:
         return P(("dcn", "data"))
     return P("data")

@@ -148,3 +148,27 @@ def test_int4_model_forward():
     agree = (np.asarray(out_fp.logits.argmax(-1)) ==
              np.asarray(out_q.logits.argmax(-1)))[sel]
     assert agree.mean() > 0.5, agree.mean()
+
+
+def test_w8a8_dot_close_to_fp():
+    # dynamic per-row activation quant (~7 effective bits) on top of
+    # per-channel int8 weights: output must track the fp product closely
+    key = jax.random.PRNGKey(11)
+    x = jax.random.normal(key, (64, 256), jnp.float32)
+    w = jax.random.normal(jax.random.PRNGKey(12), (256, 128), jnp.float32)
+    w_q, s = quant.quantize_int8(w)
+    ref = x @ (np.asarray(w_q, np.float32) * np.asarray(s))
+    out = np.asarray(linear._w8a8_dot(x, w_q, s), np.float32)
+    rel = np.linalg.norm(out - ref) / np.linalg.norm(ref)
+    assert rel < 0.02, rel
+    # rows with wildly different magnitudes each get their own scale
+    x2 = x * jnp.concatenate([jnp.full((32, 1), 100.0), jnp.full((32, 1), 0.01)])
+    ref2 = np.asarray(x2) @ (np.asarray(w_q, np.float32) * np.asarray(s))
+    out2 = np.asarray(linear._w8a8_dot(x2, w_q, s), np.float32)
+    rel2 = np.linalg.norm(out2 - ref2) / np.linalg.norm(ref2)
+    assert rel2 < 0.02, rel2
+
+
+def test_w8a8_gate_off_cpu():
+    # the W8A8 dispatch only ever engages on TPU
+    assert not linear._use_w8a8(100000)
