@@ -18,6 +18,25 @@ import time
 import numpy as np
 
 
+def _quant_kwargs(quantize: str, skip_head: bool) -> dict:
+    """--quantize value -> quantize_block_transformer kwargs.
+
+    mixed48 = block decoder INT8, token decoder INT4 (group scales), LM
+    head INT8: at decode the token decoder re-reads its whole stack per
+    *token* step (weight-streaming-bound) while the block decoder pays per
+    *block* step, so INT4 goes where the bytes are and INT8 stays where
+    quality is cheap.
+    """
+    if quantize == "mixed48":
+        return {"bits": 8, "token_decoder_bits": 4,
+                "lm_head_bits": None if skip_head else 8,
+                "skip_lm_head": skip_head,
+                "group_size": int(os.environ.get("BT_INT4_GROUP", "128"))}
+    return {"bits": 8 if quantize == "int8" else 4,
+            "skip_lm_head": skip_head,
+            "group_size": int(os.environ.get("BT_INT4_GROUP", "128"))}
+
+
 def _enable_compile_cache():
     import jax
     cache_dir = os.environ.get("JAX_CACHE_DIR", "/root/repo/.jax_cache")
@@ -61,8 +80,7 @@ def bench_block(model_name: str, batch, prefill: int, decode: int,
     if quantize and quantize != "none":
         skip_head = os.environ.get("BT_SKIP_QUANT_HEAD", "0") == "1"
         params = jax.jit(lambda p: quant.quantize_block_transformer(
-            p, bits=8 if quantize == "int8" else 4,
-            skip_lm_head=skip_head))(params)
+            p, **_quant_kwargs(quantize, skip_head)))(params)
     L = cfg.block_length
     N = prefill // L
     max_blocks = (prefill + decode) // L
@@ -126,12 +144,7 @@ def _two_level_decomposition(params, cfg, batch, prefill, decode, dtype,
     ph = cfg.embedder.projection_hidden_size
     slots = (prefill + decode) // cfg.block_length * n
     capacity = -(-slots // 128) * 128
-    cache_cls = neox.QuantKVCache if kv_cache == "int8" else neox.KVCache
-    cache = cache_cls.create(cfg.block_decoder, batch, capacity, dtype=dtype)
-    cache = cache._replace(length=jnp.int32(prefill // cfg.block_length * n))
-    kv_valid = jnp.asarray(
-        np.arange(capacity)[None] < prefill // cfg.block_length * n,
-        jnp.int32).repeat(batch, 0)
+    filled = prefill // cfg.block_length * n
     be = jnp.zeros((batch, n, ph), dtype)
 
     # params must be a jit ARGUMENT, not a closure capture: closed-over
@@ -146,11 +159,18 @@ def _two_level_decomposition(params, cfg, batch, prefill, decode, dtype,
         _, acc = jax.lax.fori_loop(0, iters, body, (be, jnp.int32(0)))
         return acc
 
-    # donate the multi-GB cache so the loop carry updates in place (an
-    # undonated carried cache costs a full HBM copy inside the program);
-    # the stage returns the cache so the caller can rebind for the next rep
-    @functools.partial(jax.jit, donate_argnums=(2, 3))
-    def block_stage(params, be, cache, kv_valid):
+    # the cache is created INSIDE the jit: it never crosses the jit
+    # boundary (so the loop carry updates in place with no donation
+    # plumbing, and quantized-int4 caches work at all — int4 arrays
+    # cannot be transferred across the boundary on this platform)
+    @jax.jit
+    def block_stage(params, be):
+        cache = neox.make_kv_cache(cfg.block_decoder, batch, capacity,
+                                   kv_cache, dtype=dtype)
+        cache = cache._replace(length=jnp.int32(filled))
+        kv_valid = (jnp.arange(capacity)[None] < filled).astype(
+            jnp.int32).repeat(batch, 0)
+
         def body(i, carry):
             be, cache, kv_valid = carry
             h, cache, kv_valid = gen._block_decoder_step(
@@ -160,7 +180,7 @@ def _two_level_decomposition(params, cfg, batch, prefill, decode, dtype,
             return h[:, -n:, :].astype(be.dtype), cache, kv_valid
         be, cache, kv_valid = jax.lax.fori_loop(0, iters, body,
                                                 (be, cache, kv_valid))
-        return be, cache, kv_valid
+        return be
 
     out = {}
     jax.block_until_ready(token_stage(params, be))
@@ -168,10 +188,9 @@ def _two_level_decomposition(params, cfg, batch, prefill, decode, dtype,
     jax.block_until_ready(token_stage(params, be))
     out["token_decoder_ms_per_block_step"] = \
         1e3 * (time.perf_counter() - t0) / iters
-    _, cache, kv_valid = jax.block_until_ready(
-        block_stage(params, be, cache, kv_valid))
+    jax.block_until_ready(block_stage(params, be))
     t0 = time.perf_counter()
-    jax.block_until_ready(block_stage(params, be, cache, kv_valid))
+    jax.block_until_ready(block_stage(params, be))
     out["block_decoder_ms_per_block_step"] = \
         1e3 * (time.perf_counter() - t0) / iters
     return out
@@ -252,9 +271,9 @@ def bench_engine(model_name: str, n_slots: int, prefill: int, decode: int,
     if quantize and quantize != "none":
         from block_transformer_tpu.ops import quant
         params = jax.jit(lambda p: quant.quantize_block_transformer(
-            p, bits=8 if quantize == "int8" else 4,
-            skip_lm_head=os.environ.get("BT_SKIP_QUANT_HEAD",
-                                        "0") == "1"))(params)
+            p, **_quant_kwargs(quantize,
+                               os.environ.get("BT_SKIP_QUANT_HEAD",
+                                              "0") == "1")))(params)
     L = cfg.block_length
     max_blocks = (prefill + decode) // L + 2
     eng = ContinuousBatchingEngine(
@@ -297,11 +316,12 @@ def main():
     ap.add_argument("--prefill", type=int, default=2048)
     ap.add_argument("--decode", type=int, default=128)
     ap.add_argument("--dtype", default="bfloat16")
-    ap.add_argument("--quantize", choices=["int8", "int4", "none"],
+    ap.add_argument("--quantize",
+                    choices=["int8", "int4", "mixed48", "none"],
                     default="int8",
                     help="weight quantization (BASELINE.json operating "
                     "point: int8 weights + int8 KV)")
-    ap.add_argument("--kv", choices=["bf16", "int8"], default="int8",
+    ap.add_argument("--kv", choices=["bf16", "int8", "int4"], default="int8",
                     help="global block-level KV cache dtype")
     ap.add_argument("--attn_impl", choices=["xla", "pallas"], default=None,
                     help="attention backend override (pallas = flash "
@@ -354,7 +374,8 @@ def main():
     print(json.dumps({
         "metric": f"decode_tokens_per_sec[{args.model}"
                   f"{'-' + args.quantize if args.quantize and args.quantize != 'none' else ''}"
-                  f"{'-kv8' if args.kv == 'int8' else ''} b{block_batch} "
+                  f"{ {'int8': '-kv8', 'int4': '-kv4'}.get(args.kv, '') }"
+                  f" b{block_batch} "
                   f"p{args.prefill}/d{args.decode} vs {args.vanilla} "
                   f"b{vanilla_batch}]",
         "value": round(block_tps, 1),

@@ -109,11 +109,12 @@ class ContinuousBatchingEngine:
         cap = max_blocks * n
         self.cap = cap = _round_up(cap, 128) if cap >= 128 else cap
 
-        # persistent device state (global cache + per-slot bookkeeping)
-        self.cache_cls = (neox.QuantKVCache if kv_cache == "int8"
-                          else neox.KVCache)
-        self.cache = self.cache_cls.create(cfg.block_decoder, n_slots, cap,
-                                           dtype=dtype)
+        # persistent device state (global cache + per-slot bookkeeping).
+        # creation happens under jit: eager int4 allocation trips an axon
+        # platform bug, and jit is cheaper on the tunnel anyway
+        self._make_cache = lambda b: neox.make_kv_cache(
+            cfg.block_decoder, b, cap, kv_cache, dtype=dtype)
+        self.cache = jax.jit(lambda: self._make_cache(n_slots))()
         # per-slot cache write positions differ -> carry per-slot lengths and
         # use position-indexed masks
         self.slot_len = jnp.zeros((n_slots,), jnp.int32)     # blocks used
@@ -178,8 +179,7 @@ class ContinuousBatchingEngine:
                 valid, jnp.repeat(bam.astype(jnp.int32), n, axis=1), (0, 0))
             mask = masks.block_decode_mask(jnp.int32(0), cap, S, valid, n)
             positions = jnp.arange(S, dtype=jnp.int32)
-            row_cache = self.cache_cls.create(cfg.block_decoder, G, cap,
-                                              dtype=x.dtype)
+            row_cache = self._make_cache(G)
             hidden, row_cache = neox.neox_stack(
                 params["block_decoder"], x.astype(x.dtype),
                 cfg=cfg.block_decoder, mask=mask, positions=positions,

@@ -253,10 +253,10 @@ def generate_blocks(params, cfg: BlockTransformerConfig, input_ids,
     B, N, L = input_ids.shape
     n = cfg.n_embedding_tokens
     ph = cfg.embedder.projection_hidden_size
-    if cfg.block_decoder_cls == "gpt-neo" and kv_cache == "int8":
+    if cfg.block_decoder_cls == "gpt-neo" and kv_cache != "bf16":
         raise NotImplementedError(
-            "int8 global KV with the gpt-neo block decoder is not wired; "
-            "use kv_cache='bf16' for the ablation family")
+            "quantized global KV with the gpt-neo block decoder is not "
+            "wired; use kv_cache='bf16' for the ablation family")
     if key is None:
         key = jax.random.PRNGKey(0)
     # round capacity to a lane multiple so the fused decode-attention
@@ -274,9 +274,8 @@ def generate_blocks(params, cfg: BlockTransformerConfig, input_ids,
                                     cfg.block_length, input_ids,
                                     attention_mask=attention_mask)  # [B,N,n,ph]
     inputs_embeds = block_embeds.reshape(B, N * n, ph)
-    cache_cls = (neox.QuantKVCache if kv_cache == "int8" else neox.KVCache)
-    cache = cache_cls.create(cfg.block_decoder, B, capacity,
-                             dtype=inputs_embeds.dtype)
+    cache = neox.make_kv_cache(cfg.block_decoder, B, capacity, kv_cache,
+                               dtype=inputs_embeds.dtype)
     kv_valid = jnp.zeros((B, capacity), jnp.int32)
     prompt_valid = jnp.repeat(block_attention_mask.astype(jnp.int32), n, axis=1)
 

@@ -161,34 +161,49 @@ class KVCache(NamedTuple):
 
 
 class QuantKVCache(NamedTuple):
-    """INT8-quantized fixed-capacity KV cache (the BASELINE.json hierarchical
-    INT8 cache): values int8 with one fp32 scale per (layer, batch, head,
-    position) — halves cache HBM vs bf16 at <1% metadata overhead.
+    """Quantized fixed-capacity KV cache (the BASELINE.json hierarchical
+    INT8 cache): values int8 — or int4 (``bits=4``), since decode attention
+    is measured at the HBM roofline (RESULTS.md) so cache bytes ARE decode
+    time — with one fp32 scale per (layer, batch, head, position); halves
+    (quarters) cache HBM vs bf16 at <1% metadata overhead.
     """
-    k: jax.Array          # int8 [L, B, H, cap, D]
+    k: jax.Array          # int8 / int4 [L, B, H, cap, D]
     v: jax.Array
     k_scale: jax.Array    # f32 [L, B, H, cap]
     v_scale: jax.Array
     length: jax.Array
 
     @staticmethod
-    def create(cfg: NeoXConfig, batch: int, capacity: int, dtype=None):
+    def create(cfg: NeoXConfig, batch: int, capacity: int, dtype=None,
+               bits: int = 8):
         del dtype
+        qdt = jnp.int4 if bits == 4 else jnp.int8
         shape = (cfg.num_layers, batch, cfg.num_heads, capacity, cfg.head_dim)
         sshape = shape[:-1]
-        return QuantKVCache(jnp.zeros(shape, jnp.int8),
-                            jnp.zeros(shape, jnp.int8),
+        return QuantKVCache(jnp.zeros(shape, qdt),
+                            jnp.zeros(shape, qdt),
                             jnp.zeros(sshape, jnp.float32),
                             jnp.zeros(sshape, jnp.float32),
                             jnp.zeros((), jnp.int32))
 
 
-def quantize_kv(x):
-    """[B, H, S, D] -> (int8 values, f32 scales [B, H, S])."""
+def make_kv_cache(cfg: NeoXConfig, batch: int, capacity: int, kind: str,
+                  dtype=jnp.bfloat16):
+    """kind: 'bf16' | 'int8' | 'int4' (generate/engine/bench --kv values)."""
+    if kind == "int8":
+        return QuantKVCache.create(cfg, batch, capacity)
+    if kind == "int4":
+        return QuantKVCache.create(cfg, batch, capacity, bits=4)
+    return KVCache.create(cfg, batch, capacity, dtype=dtype)
+
+
+def quantize_kv(x, dtype=jnp.int8):
+    """[B, H, S, D] -> (int8/int4 values, f32 scales [B, H, S])."""
+    qmax = 7.0 if dtype == jnp.int4 else 127.0
     a = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
-    scale = jnp.maximum(a, 1e-8) / 127.0
+    scale = jnp.maximum(a, 1e-8) / qmax
     q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale[..., None]),
-                 -127, 127).astype(jnp.int8)
+                 -qmax, qmax).astype(dtype)
     return q, scale
 
 
@@ -342,7 +357,9 @@ def neox_stack(params, x, *, cfg: NeoXConfig, mask, positions,
         # int8-KV attention kernel over the full stacked cache (the cache
         # is read once at int8 width — no bf16 materialization); larger
         # S / CPU falls back to dequant + the standard attention path.
-        use_fused = _fused_kv_attn_enabled(x.shape[1], cache.k.shape[3])
+        kv_dtype = cache.k.dtype
+        use_fused = (_fused_kv_attn_enabled(x.shape[1], cache.k.shape[3])
+                     and kv_dtype == jnp.int8)
         layers = params["layers"]
 
         def body(carry, i):
@@ -350,8 +367,8 @@ def neox_stack(params, x, *, cfg: NeoXConfig, mask, positions,
             p = layer_view(layers, i)
             q, k, v = layer_qkv(p, h, cfg=cfg, cos=cos, sin=sin,
                                 positions=positions)
-            kq, ks = quantize_kv(k)
-            vq, vs = quantize_kv(v)
+            kq, ks = quantize_kv(k, kv_dtype)
+            vq, vs = quantize_kv(v, kv_dtype)
             ck = _write_kv(ck, kq, i, write_pos)
             cv = _write_kv(cv, vq, i, write_pos)
             cks = _write_kv(cks, ks, i, write_pos)

@@ -146,7 +146,9 @@ def quantize_model_params(params, bits: int = 8, skip_paths=(),
 
 
 def quantize_block_transformer(params, bits: int = 8, group_size: int = 128,
-                               skip_lm_head: bool = False):
+                               skip_lm_head: bool = False,
+                               token_decoder_bits: int = None,
+                               lm_head_bits: int = None):
     """Quantize a block-transformer param tree for inference.
 
     Dense kernels in both decoder stacks + LM head + expansion go to
@@ -162,12 +164,26 @@ def quantize_block_transformer(params, bits: int = 8, group_size: int = 128,
     fewer bytes per step than a quantized one, and is strictly better for
     quality (the INT4 gate config in QUALITY.md pairs int4 bodies with a
     higher-precision head for the same reason).
+
+    ``token_decoder_bits`` / ``lm_head_bits`` allow mixed precision: at
+    decode the token decoder is weight-streaming-bound (it re-reads its
+    whole stack per token step while the block decoder reads per *block*
+    step), so INT4 there buys ~2x stream reduction where it hurts most,
+    while the block decoder and LM head stay INT8 (better quality, and
+    their decode cost is attention/compute-dominated). E.g. the bench's
+    ``--quantize mixed48`` = block INT8 + token INT4(group) + head INT8.
     """
-    skip = ("embed_out",) if skip_lm_head else ()
+    td_bits = bits if token_decoder_bits is None else token_decoder_bits
     out = dict(params)
     out["block_decoder"] = quantize_model_params(
         params["block_decoder"], bits, group_size=group_size)
+    skip = ("embed_out",) if (skip_lm_head or lm_head_bits is not None) else ()
     out["token_decoder"] = quantize_model_params(
-        params["token_decoder"], bits, group_size=group_size,
+        params["token_decoder"], td_bits, group_size=group_size,
         skip_paths=skip)
+    if lm_head_bits is not None and not skip_lm_head:
+        out["token_decoder"] = dict(out["token_decoder"])
+        out["token_decoder"]["embed_out"] = quantize_linear(
+            params["token_decoder"]["embed_out"], lm_head_bits,
+            group_size=group_size)
     return out

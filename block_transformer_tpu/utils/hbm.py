@@ -32,7 +32,8 @@ def block_model_bytes(cfg, batch: int, prefill: int, decode: int,
               + 2 * td.vocab_size * td.hidden_size
               + cfg.embedder.projection_hidden_size * td.hidden_size
               * (cfg.expansion_ratio + 1))
-    kv_bytes = 1 + 4 / bd.head_dim if kv_cache == "int8" else dtype_bytes
+    kv_bytes = {"int8": 1 + 4 / bd.head_dim,
+                "int4": 0.5 + 4 / bd.head_dim}.get(kv_cache, dtype_bytes)
     global_kv = int(2 * bd.num_layers * batch * bd.num_heads * blocks * n
                     * bd.head_dim * kv_bytes / dtype_bytes)
     local_kv = (2 * td.num_layers * batch * td.num_heads

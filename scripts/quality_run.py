@@ -275,6 +275,8 @@ def decode_agreement(params_fp, params_q8, cfg, holdout, n_prompts=8,
     out = {}
     out["int8_kv_vs_bf16_kv_match"] = float((run(params_fp, "int8") == ref).mean())
     out["int8_w_int8_kv_vs_fp_match"] = float((run(params_q8, "int8") == ref).mean())
+    out["int4_kv_vs_bf16_kv_match"] = float((run(params_fp, "int4") == ref).mean())
+    out["int8_w_int4_kv_vs_fp_match"] = float((run(params_q8, "int4") == ref).mean())
     return out
 
 
@@ -460,6 +462,10 @@ def write_report(args, r):
         f"{100*d['int8_kv_vs_bf16_kv_match']:.2f}% token match",
         f"- INT8 weights + INT8 KV vs full precision: "
         f"{100*d['int8_w_int8_kv_vs_fp_match']:.2f}% token match",
+        f"- INT4 KV vs bf16 KV (fp32 weights): "
+        f"{100*d.get('int4_kv_vs_bf16_kv_match', float('nan')):.2f}% token match",
+        f"- INT8 weights + INT4 KV vs full precision: "
+        f"{100*d.get('int8_w_int4_kv_vs_fp_match', float('nan')):.2f}% token match",
         "",
         "Training loss curves: `results/quality/*/metrics.jsonl` "
         "(per-component losses + fp64 loss-by-position).",

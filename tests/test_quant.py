@@ -172,3 +172,57 @@ def test_w8a8_dot_close_to_fp():
 def test_w8a8_gate_off_cpu():
     # the W8A8 dispatch only ever engages on TPU
     assert not linear._use_w8a8(100000)
+
+
+def test_int4_kv_cache_generation_runs():
+    """INT4 global KV cache decode: runs end to end, valid tokens, prompt
+    region exact (quality of int4 KV is measured in quality_run, not here)."""
+    from tests.test_block_parity import make_cfg, VOCAB
+    from block_transformer_tpu.models import block_transformer as bt
+    from block_transformer_tpu.inference import generate as gen
+    import jax.numpy as jnp
+
+    cfg = make_cfg()
+    params = bt.init_block_transformer_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    ids = rng.integers(1, VOCAB, size=(2, 4, 4))
+    att = np.ones_like(ids)
+    bam = att.any(-1).astype(np.int64)
+    args = (jnp.asarray(ids), jnp.asarray(att), jnp.asarray(bam))
+    q = gen.generate_blocks(params, cfg, *args, max_blocks=7, kv_cache="int4")
+    b = np.asarray(q.tokens)           # [B, max_blocks, L]
+    np.testing.assert_array_equal(ids, b[:, :4])
+    assert (b >= 0).all() and (b < VOCAB).all()
+
+
+def test_quantize_kv_int4_roundtrip():
+    x = jax.random.normal(jax.random.PRNGKey(3), (2, 4, 8, 16), jnp.float32)
+    q, s = __import__("block_transformer_tpu.models.neox",
+                      fromlist=["neox"]).quantize_kv(x, jnp.int4)
+    assert q.dtype == jnp.int4
+    back = np.asarray(q.astype(jnp.float32)) * np.asarray(s)[..., None]
+    rel = np.abs(back - np.asarray(x)).max() / np.abs(np.asarray(x)).max()
+    assert rel < 0.12, rel  # 4-bit symmetric: step = amax/7
+
+
+def test_mixed_precision_quantization():
+    """block INT8 + token INT4 + head INT8 (bench --quantize mixed48)."""
+    from tests.test_block_parity import make_cfg, make_inputs
+    from block_transformer_tpu.models import block_transformer as bt
+
+    cfg = make_cfg()
+    params = bt.init_block_transformer_params(jax.random.PRNGKey(0), cfg)
+    q = quant.quantize_block_transformer(params, bits=8,
+                                         token_decoder_bits=4,
+                                         lm_head_bits=8, group_size=8)
+    assert "kernel_q8" in q["block_decoder"]["layers"]["attn"]["qkv"]
+    assert "kernel_q4" in q["token_decoder"]["layers"]["attn"]["qkv"]
+    assert "kernel_q8" in q["token_decoder"]["embed_out"]
+    ids, att, bam = make_inputs()
+    ref = bt.block_transformer_forward(params, cfg, ids, att, bam)
+    out = bt.block_transformer_forward(q, cfg, ids, att, bam)
+    a = np.asarray(ref.logits, np.float32)
+    b = np.asarray(out.logits, np.float32)
+    # int4 token decoder dominates the error; logits must stay correlated
+    corr = np.corrcoef(a.ravel(), b.ravel())[0, 1]
+    assert corr > 0.98, corr
