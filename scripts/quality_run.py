@@ -241,7 +241,8 @@ def run_harness(params, cfg, holdout, max_length, batch):
 # Phase 5: greedy-decode agreement (KV-cache quantization quality)
 # ---------------------------------------------------------------------------
 
-def decode_agreement(params_fp, params_q8, cfg, holdout, n_prompts=8,
+def decode_agreement(params_fp, params_q8, cfg, holdout, params_mixed=None,
+                     n_prompts=8,
                      prompt_len=256, gen_tokens=64):
     import jax.numpy as jnp
     from block_transformer_tpu.inference import generate as gen
@@ -277,6 +278,10 @@ def decode_agreement(params_fp, params_q8, cfg, holdout, n_prompts=8,
     out["int8_w_int8_kv_vs_fp_match"] = float((run(params_q8, "int8") == ref).mean())
     out["int4_kv_vs_bf16_kv_match"] = float((run(params_fp, "int4") == ref).mean())
     out["int8_w_int4_kv_vs_fp_match"] = float((run(params_q8, "int4") == ref).mean())
+    if params_mixed is not None:
+        # the full candidate serving default: mixed48 weights + int4 KV
+        out["mixed48_int4_kv_vs_fp_match"] = float(
+            (run(params_mixed, "int4") == ref).mean())
     return out
 
 
@@ -367,6 +372,11 @@ def main():
     q8 = quant.quantize_block_transformer(block_params, bits=8)
     q4 = quant.quantize_block_transformer(block_params, bits=4,
                                           group_size=args.int4_group)
+    # the bench's mixed48 serving config: block INT8 + token INT4 + head INT8
+    qmix = quant.quantize_block_transformer(block_params, bits=8,
+                                            token_decoder_bits=4,
+                                            lm_head_bits=8,
+                                            group_size=args.int4_group)
 
     results = {"steps": args.steps, "batch": args.batch,
                "max_length": args.max_length,
@@ -381,12 +391,16 @@ def main():
                                         args.eval_batch),
         "block_int4": heldout_ppl_block(q4, cfg, ds_hold_block, n,
                                         args.eval_batch),
+        "block_mixed48": heldout_ppl_block(qmix, cfg, ds_hold_block, n,
+                                           args.eval_batch),
         "vanilla_fp32": heldout_ppl_vanilla(van_params, vcfg, ds_hold_van, n,
                                             args.eval_batch),
     }
     fp = results["ppl"]["block_fp32"]
     results["ppl"]["int8_delta_pct"] = 100 * (results["ppl"]["block_int8"] - fp) / fp
     results["ppl"]["int4_delta_pct"] = 100 * (results["ppl"]["block_int4"] - fp) / fp
+    results["ppl"]["mixed48_delta_pct"] = 100 * (
+        results["ppl"]["block_mixed48"] - fp) / fp
     print(json.dumps(results["ppl"], indent=2))
 
     print("[quality] phase 4: harness tasks")
@@ -401,7 +415,7 @@ def main():
 
     print("[quality] phase 5: decode agreement")
     results["decode_agreement"] = decode_agreement(block_params, q8, cfg,
-                                                   holdout)
+                                                   holdout, params_mixed=qmix)
 
     with open(os.path.join(args.out, "quality.json"), "w") as f:
         json.dump(results, f, indent=2)
