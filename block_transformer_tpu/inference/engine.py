@@ -82,7 +82,8 @@ class ContinuousBatchingEngine:
                  max_blocks: int = 512, greedy: bool = True,
                  temperature: float = 1.0, top_k: int = 0, top_p: float = 1.0,
                  kv_cache: str = "bf16", bucket_blocks: int = 64,
-                 sync_blocks: int = 4, seed: int = 0):
+                 sync_blocks: int = 4, seed: int = 0,
+                 page_size: int = 256, pool_pages: Optional[int] = None):
         self.params = params
         self.cfg = cfg
         self.n_slots = n_slots
@@ -108,13 +109,34 @@ class ContinuousBatchingEngine:
         # lane-aligned capacity so the fused kernels tile cleanly
         cap = max_blocks * n
         self.cap = cap = _round_up(cap, 128) if cap >= 128 else cap
+        self.kv_kind = kv_cache
 
         # persistent device state (global cache + per-slot bookkeeping).
         # creation happens under jit: eager int4 allocation trips an axon
         # platform bug, and jit is cheaper on the tunnel anyway
-        self._make_cache = lambda b: neox.make_kv_cache(
-            cfg.block_decoder, b, cap, kv_cache, dtype=dtype)
-        self.cache = jax.jit(lambda: self._make_cache(n_slots))()
+        if kv_cache == "paged":
+            # INT8 page pool: HBM scales with resident tokens, not
+            # n_slots x max capacity. Admission allocates pages from a free
+            # list; page 0 is the reserved null page.
+            self.page_size = ps = min(page_size, cap)
+            self.cap = cap = _round_up(cap, ps)
+            self.n_virt = cap // ps
+            # default pool: half the fully-dense footprint, min 1 slot's worth
+            self.pool_pages = pool_pages or max(
+                self.n_virt + 1, n_slots * self.n_virt // 2 + 1)
+            self.cache = jax.jit(lambda: neox.PagedKVCache.create(
+                cfg.block_decoder, n_slots, cap, n_pages=self.pool_pages,
+                page_size=ps))()
+            self._free_pages = list(range(1, self.pool_pages))
+            self._slot_pages: Dict[int, list] = {}
+            # admission prefill still runs a contiguous mini-cache and then
+            # scatters its pages into the pool
+            self._make_cache = lambda b: neox.QuantKVCache.create(
+                cfg.block_decoder, b, cap)
+        else:
+            self._make_cache = lambda b: neox.make_kv_cache(
+                cfg.block_decoder, b, cap, kv_cache, dtype=dtype)
+            self.cache = jax.jit(lambda: self._make_cache(n_slots))()
         # per-slot cache write positions differ -> carry per-slot lengths and
         # use position-indexed masks
         self.slot_len = jnp.zeros((n_slots,), jnp.int32)     # blocks used
@@ -185,10 +207,35 @@ class ContinuousBatchingEngine:
                 cfg=cfg.block_decoder, mask=mask, positions=positions,
                 cache=row_cache)
             # scatter the G rows back into the pooled cache/state
-            updates = {
-                f: getattr(cache, f).at[:, slots].set(getattr(row_cache, f))
-                for f in cache._fields if f != "length"}
-            new_cache = cache._replace(**updates)
+            if isinstance(cache, neox.PagedKVCache):
+                # page-granular scatter into the pool: each row's virtual
+                # pages land at its allocated pool pages (unallocated tail
+                # pages target the null page 0 — masked, contents don't
+                # matter)
+                ps = cache.page_size
+                nv = cap // ps
+                pt_rows = cache.page_table[slots]            # [G, nv]
+
+                def paged_vals(a):
+                    if a.ndim == 5:
+                        Lx, Gx, Hx, cx, Dx = a.shape
+                        return a.reshape(Lx, Gx, Hx, nv, ps, Dx
+                                         ).transpose(0, 1, 3, 2, 4, 5)
+                    Lx, Gx, Hx, cx = a.shape
+                    return a.reshape(Lx, Gx, Hx, nv, ps).transpose(0, 1, 3, 2, 4)
+
+                new_cache = cache._replace(
+                    k=cache.k.at[:, pt_rows].set(paged_vals(row_cache.k)),
+                    v=cache.v.at[:, pt_rows].set(paged_vals(row_cache.v)),
+                    k_scale=cache.k_scale.at[:, pt_rows].set(
+                        paged_vals(row_cache.k_scale)),
+                    v_scale=cache.v_scale.at[:, pt_rows].set(
+                        paged_vals(row_cache.v_scale)))
+            else:
+                updates = {
+                    f: getattr(cache, f).at[:, slots].set(getattr(row_cache, f))
+                    for f in cache._fields if f != "length"}
+                new_cache = cache._replace(**updates)
             # zero validity beyond each true prompt (padded bucket tail)
             valid = jnp.where(jnp.arange(cap)[None] < true_len[:, None] * n,
                               valid, 0)
@@ -297,6 +344,26 @@ class ContinuousBatchingEngine:
                 self.completed.append(req)
                 free.insert(0, slot)
                 continue
+            if self.kv_kind == "paged":
+                # allocate this request's pages now (prompt + full budget,
+                # so decode never needs a mid-flight grow); head-of-line
+                # blocking if the pool is exhausted — pages free as
+                # requests finish
+                blocks_budget = (req.max_new_tokens + L - 1) // L
+                n_emb = self.cfg.n_embedding_tokens
+                need = min(self.n_virt,
+                           -(-((N + blocks_budget) * n_emb) // self.page_size))
+                if len(self._free_pages) < need:
+                    self.waiting.insert(0, req)
+                    free.insert(0, slot)
+                    break
+                pgs = [self._free_pages.pop() for _ in range(need)]
+                self._slot_pages[slot] = pgs
+                row = np.zeros((self.n_virt,), np.int32)
+                row[:len(pgs)] = pgs
+                self.cache = self.cache._replace(
+                    page_table=self.cache.page_table.at[slot].set(
+                        jnp.asarray(row)))
             Nb = min(_round_up(N, self.bucket_blocks), self.max_blocks)
             groups.setdefault(Nb, []).append((slot, req, d, N))
         for Nb, batch in groups.items():
@@ -385,6 +452,8 @@ class ContinuousBatchingEngine:
             self.completed.append(req)
             if self.active.get(s) is req:
                 del self.active[s]
+                if self.kv_kind == "paged":
+                    self._free_pages.extend(self._slot_pages.pop(s, []))
             self.stats.prompts_finished += 1
 
     def step(self):

@@ -187,6 +187,40 @@ class QuantKVCache(NamedTuple):
                             jnp.zeros((), jnp.int32))
 
 
+class PagedKVCache(NamedTuple):
+    """INT8 paged KV pool (vLLM-style): values live in a shared page pool
+    ``[L, n_pages, H, page, D]`` and each batch row maps virtual page
+    indices to pool pages through ``page_table`` ``[B, n_virt]``. Page 0 is
+    the null page: unallocated virtual pages point there and are masked by
+    kv_valid. Attention reads resolve the table inside the Pallas kernel's
+    index maps (ops/paged_attention.py) — no gather materialization.
+    """
+    k: jax.Array          # int8 [L, P, H, ps, D]
+    v: jax.Array
+    k_scale: jax.Array    # f32 [L, P, H, ps]
+    v_scale: jax.Array
+    page_table: jax.Array  # int32 [B, n_virt]
+    length: jax.Array      # scalar (interface compat; engine tracks per-slot)
+
+    @staticmethod
+    def create(cfg: NeoXConfig, batch: int, capacity: int, *,
+               n_pages: int, page_size: int = 256):
+        assert capacity % page_size == 0, (capacity, page_size)
+        n_virt = capacity // page_size
+        shape = (cfg.num_layers, n_pages, cfg.num_heads, page_size,
+                 cfg.head_dim)
+        return PagedKVCache(
+            jnp.zeros(shape, jnp.int8), jnp.zeros(shape, jnp.int8),
+            jnp.zeros(shape[:-1], jnp.float32),
+            jnp.zeros(shape[:-1], jnp.float32),
+            jnp.zeros((batch, n_virt), jnp.int32),
+            jnp.zeros((), jnp.int32))
+
+    @property
+    def page_size(self):
+        return self.k.shape[3]
+
+
 def make_kv_cache(cfg: NeoXConfig, batch: int, capacity: int, kind: str,
                   dtype=jnp.bfloat16):
     """kind: 'bf16' | 'int8' | 'int4' (generate/engine/bench --kv values)."""
@@ -351,7 +385,50 @@ def neox_stack(params, x, *, cfg: NeoXConfig, mask, positions,
     if cache is not None and write_pos is None:
         write_pos = cache.length
 
-    if isinstance(cache, QuantKVCache):
+    if isinstance(cache, PagedKVCache):
+        # paged INT8 pool: scatter the new K/V into each row's pages at its
+        # own frontier; attention resolves the page table inside the Pallas
+        # kernel's index maps (interpret mode off-TPU)
+        ps = cache.page_size
+        S = x.shape[1]
+        pt = cache.page_table
+        layers = params["layers"]
+        interp = jax.devices()[0].platform != "tpu"
+        if write_pos.ndim == 0:
+            write_pos = jnp.broadcast_to(write_pos, (x.shape[0],))
+
+        vp = write_pos[:, None] + jnp.arange(S, dtype=jnp.int32)[None]
+        page = jnp.take_along_axis(pt, vp // ps, axis=1)          # [B, S]
+        off = vp % ps
+
+        def body(carry, i):
+            h, ck, cv, cks, cvs = carry
+            p = layer_view(layers, i)
+            q, k, v = layer_qkv(p, h, cfg=cfg, cos=cos, sin=sin,
+                                positions=positions)
+            kq, ks = quantize_kv(k)
+            vq, vs = quantize_kv(v)
+            # advanced-index scatter: (page, off) pairs per (b, s); the
+            # advanced result group moves to the front -> values [B, S, H, *]
+            ck = ck.at[i, page, :, off].set(kq.transpose(0, 2, 1, 3))
+            cv = cv.at[i, page, :, off].set(vq.transpose(0, 2, 1, 3))
+            cks = cks.at[i, page, :, off].set(ks.transpose(0, 2, 1))
+            cvs = cvs.at[i, page, :, off].set(vs.transpose(0, 2, 1))
+            from block_transformer_tpu.ops import paged_attention
+            attn = paged_attention.paged_decode_attention_int8(
+                q, ck, cks, cv, cvs, i, pt, mask, interpret=interp
+            ).astype(q.dtype)
+            h = layer_finish(p, h, attn, cfg=cfg)
+            return (h, ck, cv, cks, cvs), None
+
+        if remat:
+            body = jax.checkpoint(body)
+        idx = jnp.arange(cfg.num_layers, dtype=jnp.int32)
+        (h, nk, nv, nks, nvs), _ = jax.lax.scan(
+            body, (x, cache.k, cache.v, cache.k_scale, cache.v_scale), idx)
+        new_cache = PagedKVCache(nk, nv, nks, nvs, pt,
+                                 cache.length + x.shape[1])
+    elif isinstance(cache, QuantKVCache):
         # INT8 cache: quantize the new K/V per position on write. On read,
         # decode-sized queries (S<=8) on TPU go through the fused Pallas
         # int8-KV attention kernel over the full stacked cache (the cache

@@ -159,3 +159,45 @@ def test_engine_uneven_budgets_and_windows():
         assert len(got) <= m
         k = min(len(got), len(want))
         assert k > 0 and got[:k] == want[:k], (m, got, want)
+
+
+def test_engine_int4_kv_serves():
+    """The engine serves from an INT4 global cache (created under jit) and
+    produces valid generations for every request."""
+    cfg, params = _setup(seed=5)
+    rng = np.random.default_rng(5)
+    prompts = [rng.integers(1, VOCAB, size=n) for n in (8, 12)]
+    eng = ContinuousBatchingEngine(params, cfg, n_slots=2, max_blocks=12,
+                                   kv_cache="int4")
+    for p in prompts:
+        eng.submit(p, 4)
+    reqs = list(eng.waiting)
+    eng.run(max_steps=60)
+    assert not eng.has_work()
+    for req in reqs:
+        assert len(req.generated) > 0
+        assert all(0 <= t < VOCAB for t in req.generated)
+
+
+def test_engine_paged_matches_int8():
+    """Paged-pool serving must produce the same generations as the
+    contiguous INT8 cache at matched numerics, including slot reuse through
+    page free/realloc cycles."""
+    cfg, params = _setup(seed=7)
+    rng = np.random.default_rng(7)
+    prompts = [rng.integers(1, VOCAB, size=n) for n in (8, 12, 4, 9)]
+
+    def run_engine(**kw):
+        eng = ContinuousBatchingEngine(params, cfg, n_slots=2, max_blocks=12,
+                                       **kw)
+        for p in prompts:
+            eng.submit(p, 6)
+        reqs = list(eng.waiting)
+        eng.run(max_steps=100)
+        assert not eng.has_work()
+        return [r.generated for r in reqs]
+
+    want = run_engine(kv_cache="int8")
+    # pool sized so the 4 requests cannot all hold pages at once
+    got = run_engine(kv_cache="paged", page_size=4, pool_pages=9)
+    assert got == want, (got, want)

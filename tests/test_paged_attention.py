@@ -1,0 +1,102 @@
+"""Paged decode attention: parity with the contiguous formulation when the
+pool pages are a permutation of a contiguous cache."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from block_transformer_tpu.ops import masks as masks_lib
+from block_transformer_tpu.ops import paged_attention
+
+
+def _reference(q, k, v, kv_idx, kv_valid, q_idx):
+    # plain masked softmax attention in f32
+    B, H, S, D = q.shape
+    s = np.einsum("bhsd,bhkd->bhsk", np.asarray(q, np.float32),
+                  np.asarray(k, np.float32)) / np.sqrt(D)
+    ok = (np.asarray(kv_idx)[None, None, None, :]
+          <= np.asarray(q_idx)[:, None, :, None])
+    ok = ok & (np.asarray(kv_valid)[:, None, None, :] != 0)
+    s = np.where(ok, s, -1e30)
+    p = np.exp(s - s.max(-1, keepdims=True))
+    p = p / p.sum(-1, keepdims=True)
+    return np.einsum("bhsk,bhkd->bhsd", p, np.asarray(v, np.float32))
+
+
+def test_paged_matches_contiguous():
+    rng = np.random.default_rng(0)
+    L, B, H, D = 3, 4, 2, 128
+    ps, n_virt = 128, 4                     # page size, pages per slot
+    cap = ps * n_virt
+    n_pool = B * n_virt + 2                 # pool bigger than needed
+
+    # per-(layer, pool-page, head, pos) int8 values + scales
+    k_q = rng.integers(-127, 128, size=(L, n_pool, H, ps, D)).astype(np.int8)
+    v_q = rng.integers(-127, 128, size=(L, n_pool, H, ps, D)).astype(np.int8)
+    k_s = rng.uniform(0.01, 0.02, size=(L, n_pool, H, ps)).astype(np.float32)
+    v_s = rng.uniform(0.01, 0.02, size=(L, n_pool, H, ps)).astype(np.float32)
+
+    # each slot's virtual pages -> a random distinct pool page (page 0 kept
+    # as the null page)
+    perm = rng.permutation(np.arange(1, n_pool - 1))[:B * n_virt]
+    page_table = perm.reshape(B, n_virt).astype(np.int32)
+
+    q = rng.standard_normal((B, H, 1, D)).astype(np.float32)
+    layer = 1
+    lengths = np.asarray([cap, ps + 3, 2 * ps, 5])  # per-slot valid lengths
+    kv_valid = (np.arange(cap)[None] < lengths[:, None]).astype(np.int32)
+    kv_idx = np.arange(cap, dtype=np.int32)
+    q_idx = np.full((B, 1), cap, np.int32)          # attend to all valid
+
+    mask = masks_lib.AttnMask(jnp.asarray(q_idx), jnp.asarray(kv_idx),
+                              jnp.asarray(kv_valid))
+    out = paged_attention.paged_decode_attention_int8(
+        jnp.asarray(q), jnp.asarray(k_q), jnp.asarray(k_s), jnp.asarray(v_q),
+        jnp.asarray(v_s), layer, jnp.asarray(page_table), mask,
+        interpret=True)
+
+    # gather the contiguous equivalent on the host and compare
+    kc = (k_q[layer][page_table].astype(np.float32)
+          * k_s[layer][page_table][..., None])      # [B, nv, H, ps, D]
+    vc = (v_q[layer][page_table].astype(np.float32)
+          * v_s[layer][page_table][..., None])
+    kc = kc.transpose(0, 2, 1, 3, 4).reshape(B, H, cap, D)
+    vc = vc.transpose(0, 2, 1, 3, 4).reshape(B, H, cap, D)
+    want = _reference(q, kc, vc, kv_idx, kv_valid, q_idx)
+    np.testing.assert_allclose(np.asarray(out), want, atol=2e-2, rtol=2e-2)
+
+
+def test_paged_null_page_is_masked():
+    """Unallocated virtual pages point at pool page 0; kv_valid masks them
+    so their (arbitrary) contents never affect the output."""
+    rng = np.random.default_rng(1)
+    L, B, H, D = 1, 2, 2, 128
+    ps, n_virt = 128, 2
+    cap = ps * n_virt
+    n_pool = 4
+    k_q = rng.integers(-127, 128, size=(L, n_pool, H, ps, D)).astype(np.int8)
+    v_q = rng.integers(-127, 128, size=(L, n_pool, H, ps, D)).astype(np.int8)
+    k_s = np.full((L, n_pool, H, ps), 0.01, np.float32)
+    v_s = np.full((L, n_pool, H, ps), 0.01, np.float32)
+    q = rng.standard_normal((B, H, 1, D)).astype(np.float32)
+
+    # slot 0 uses pages [1, 2]; slot 1 uses page [3] + null page 0
+    pt = np.asarray([[1, 2], [3, 0]], np.int32)
+    kv_valid = (np.arange(cap)[None]
+                < np.asarray([[cap], [ps]])).astype(np.int32)
+    kv_idx = np.arange(cap, dtype=np.int32)
+    q_idx = np.full((B, 1), cap, np.int32)
+    mask = masks_lib.AttnMask(jnp.asarray(q_idx), jnp.asarray(kv_idx),
+                              jnp.asarray(kv_valid))
+
+    out1 = paged_attention.paged_decode_attention_int8(
+        jnp.asarray(q), jnp.asarray(k_q), jnp.asarray(k_s), jnp.asarray(v_q),
+        jnp.asarray(v_s), 0, jnp.asarray(pt), mask, interpret=True)
+    # scribble over the null page: output must not change
+    k_q2 = k_q.copy(); k_q2[:, 0] = 99
+    v_q2 = v_q.copy(); v_q2[:, 0] = -99
+    out2 = paged_attention.paged_decode_attention_int8(
+        jnp.asarray(q), jnp.asarray(k_q2), jnp.asarray(k_s), jnp.asarray(v_q2),
+        jnp.asarray(v_s), 0, jnp.asarray(pt), mask, interpret=True)
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out2),
+                               atol=1e-6)
