@@ -323,6 +323,9 @@ def main():
                     "point: int8 weights + int8 KV)")
     ap.add_argument("--kv", choices=["bf16", "int8", "int4"], default="int8",
                     help="global block-level KV cache dtype")
+    ap.add_argument("--engine_kv", default=None,
+                    help="engine-mode cache override: bf16/int8/int4/paged "
+                         "(default: --kv)")
     ap.add_argument("--attn_impl", choices=["xla", "pallas"], default=None,
                     help="attention backend override (pallas = flash "
                     "kernel where shapes allow, e.g. prefill chunks)")
@@ -351,7 +354,7 @@ def main():
     if args.engine:
         engine_tps, engine_detail = bench_engine(
             args.model, args.engine_slots, args.prefill, args.decode,
-            args.dtype, args.quantize, args.kv)
+            args.dtype, args.quantize, args.engine_kv or args.kv)
         engine_detail["engine_tok_per_s"] = engine_tps
         print(f"[bench] engine: {engine_tps:.1f} tok/s at {args.engine_slots} "
               f"slots", file=sys.stderr, flush=True)
