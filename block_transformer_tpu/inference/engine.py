@@ -83,7 +83,8 @@ class ContinuousBatchingEngine:
                  temperature: float = 1.0, top_k: int = 0, top_p: float = 1.0,
                  kv_cache: str = "bf16", bucket_blocks: int = 64,
                  sync_blocks: int = 4, seed: int = 0,
-                 page_size: int = 256, pool_pages: Optional[int] = None):
+                 page_size: int = 256, pool_pages: Optional[int] = None,
+                 mesh=None):
         self.params = params
         self.cfg = cfg
         self.n_slots = n_slots
@@ -156,8 +157,43 @@ class ContinuousBatchingEngine:
         self.stats = EngineStats()
         self._uid = 0
 
+        if mesh is not None:
+            self._shard_over(mesh)
+
         self._prefill = self._make_prefill()   # retraces once per bucket
         self._decode = self._make_decode()
+
+    def _shard_over(self, mesh):
+        """Serve over a (data, model) mesh: slots shard over the data axes,
+        attention heads / TP weight shards over ``model`` — the sharded
+        generate_blocks layout (tests/test_sharded_decode.py) applied to
+        the persistent engine state. GSPMD propagates these shardings
+        through the jitted prefill/decode-window programs, so the same
+        engine code serves one chip or a pod slice.
+
+        (Paged pools are single-device for now: the shared page pool would
+        need page-granular sharding and cross-slot scatter collectives.)"""
+        assert self.kv_kind != "paged", "paged pool is single-device for now"
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from block_transformer_tpu.parallel import sharding as sh
+        assert self.n_slots % np.prod(
+            [mesh.shape[a] for a in sh.data_axes(mesh)]) == 0, \
+            (self.n_slots, dict(mesh.shape))
+        self.mesh = mesh
+        d = sh.data_axes(mesh)
+        put = lambda x, spec: jax.device_put(x, NamedSharding(mesh, spec))
+        self.params = jax.tree.map(
+            jax.device_put, self.params, sh.param_shardings(mesh, self.params))
+        self.cache = jax.tree.map(
+            lambda x: put(x, sh.kv_cache_pspec()) if x.ndim == 5 else
+            (put(x, P(None, d, "model", None)) if x.ndim == 4    # scales
+             else put(x, P())), self.cache)
+        self.kv_valid = put(self.kv_valid, P(d))
+        self.next_embeds = put(self.next_embeds, P(d))
+        self.slot_len = put(self.slot_len, P(d))
+        self.alive = put(self.alive, P(d))
+        self.blocks_left = put(self.blocks_left, P(d))
+        self.key = put(self.key, P())
 
     # ------------------------------------------------------------------
     def submit(self, prompt, max_new_tokens: int,

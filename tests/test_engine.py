@@ -201,3 +201,45 @@ def test_engine_paged_matches_int8():
     # pool sized so the 4 requests cannot all hold pages at once
     got = run_engine(kv_cache="paged", page_size=4, pool_pages=9)
     assert got == want, (got, want)
+
+
+def test_engine_sharded_matches_single():
+    """The engine over a (data, model) mesh must generate token-for-token
+    what the single-device engine generates."""
+    from block_transformer_tpu.parallel import sharding as sh
+
+    cfg, params = _setup(seed=9)
+    rng = np.random.default_rng(9)
+    prompts = [rng.integers(1, VOCAB, size=n) for n in (8, 12, 6, 10)]
+
+    def run_engine(**kw):
+        eng = ContinuousBatchingEngine(params, cfg, n_slots=4, max_blocks=12,
+                                       kv_cache="int8", **kw)
+        for p in prompts:
+            eng.submit(p, 6)
+        reqs = list(eng.waiting)
+        eng.run(max_steps=100)
+        assert not eng.has_work()
+        return [r.generated for r in reqs]
+
+    want = run_engine()
+    mesh = sh.make_mesh(n_data=2, n_model=4)
+    got = run_engine(mesh=mesh)
+    assert got == want, (got, want)
+
+
+def test_engine_state_stays_sharded():
+    """GSPMD must keep the engine cache sharded across decode windows (a
+    silently replicated cache would still pass the parity test)."""
+    from block_transformer_tpu.parallel import sharding as sh
+
+    cfg, params = _setup(seed=9)
+    rng = np.random.default_rng(9)
+    mesh = sh.make_mesh(n_data=2, n_model=4)
+    eng = ContinuousBatchingEngine(params, cfg, n_slots=4, max_blocks=12,
+                                   kv_cache="int8", mesh=mesh)
+    for n in (8, 12):
+        eng.submit(rng.integers(1, VOCAB, size=n), 6)
+    eng.run(max_steps=50)
+    spec = eng.cache.k.sharding.spec
+    assert "data" in str(spec) and "model" in str(spec), spec
