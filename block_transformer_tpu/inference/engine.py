@@ -115,10 +115,11 @@ class ContinuousBatchingEngine:
         # persistent device state (global cache + per-slot bookkeeping).
         # creation happens under jit: eager int4 allocation trips an axon
         # platform bug, and jit is cheaper on the tunnel anyway
-        if kv_cache == "paged":
-            # INT8 page pool: HBM scales with resident tokens, not
-            # n_slots x max capacity. Admission allocates pages from a free
-            # list; page 0 is the reserved null page.
+        if kv_cache.startswith("paged"):
+            # INT8 (or INT4: "paged-int4") page pool: HBM scales with
+            # resident tokens, not n_slots x max capacity. Admission
+            # allocates pages from a free list; page 0 is the null page.
+            bits = 4 if kv_cache.endswith("int4") else 8
             self.page_size = ps = min(page_size, cap)
             self.cap = cap = _round_up(cap, ps)
             self.n_virt = cap // ps
@@ -127,13 +128,13 @@ class ContinuousBatchingEngine:
                 self.n_virt + 1, n_slots * self.n_virt // 2 + 1)
             self.cache = jax.jit(lambda: neox.PagedKVCache.create(
                 cfg.block_decoder, n_slots, cap, n_pages=self.pool_pages,
-                page_size=ps))()
+                page_size=ps, bits=bits))()
             self._free_pages = list(range(1, self.pool_pages))
             self._slot_pages: Dict[int, list] = {}
             # admission prefill still runs a contiguous mini-cache and then
             # scatters its pages into the pool
             self._make_cache = lambda b: neox.QuantKVCache.create(
-                cfg.block_decoder, b, cap)
+                cfg.block_decoder, b, cap, bits=bits)
         else:
             self._make_cache = lambda b: neox.make_kv_cache(
                 cfg.block_decoder, b, cap, kv_cache, dtype=dtype)
@@ -173,7 +174,8 @@ class ContinuousBatchingEngine:
 
         (Paged pools are single-device for now: the shared page pool would
         need page-granular sharding and cross-slot scatter collectives.)"""
-        assert self.kv_kind != "paged", "paged pool is single-device for now"
+        assert not self.kv_kind.startswith("paged"), \
+            "paged pool is single-device for now"
         from jax.sharding import NamedSharding, PartitionSpec as P
         from block_transformer_tpu.parallel import sharding as sh
         assert self.n_slots % np.prod(
@@ -380,7 +382,7 @@ class ContinuousBatchingEngine:
                 self.completed.append(req)
                 free.insert(0, slot)
                 continue
-            if self.kv_kind == "paged":
+            if self.kv_kind.startswith("paged"):
                 # allocate this request's pages now (prompt + full budget,
                 # so decode never needs a mid-flight grow); head-of-line
                 # blocking if the pool is exhausted — pages free as
@@ -488,7 +490,7 @@ class ContinuousBatchingEngine:
             self.completed.append(req)
             if self.active.get(s) is req:
                 del self.active[s]
-                if self.kv_kind == "paged":
+                if self.kv_kind.startswith("paged"):
                     self._free_pages.extend(self._slot_pages.pop(s, []))
             self.stats.prompts_finished += 1
 

@@ -204,13 +204,14 @@ class PagedKVCache(NamedTuple):
 
     @staticmethod
     def create(cfg: NeoXConfig, batch: int, capacity: int, *,
-               n_pages: int, page_size: int = 256):
+               n_pages: int, page_size: int = 256, bits: int = 8):
         assert capacity % page_size == 0, (capacity, page_size)
         n_virt = capacity // page_size
+        qdt = jnp.int4 if bits == 4 else jnp.int8
         shape = (cfg.num_layers, n_pages, cfg.num_heads, page_size,
                  cfg.head_dim)
         return PagedKVCache(
-            jnp.zeros(shape, jnp.int8), jnp.zeros(shape, jnp.int8),
+            jnp.zeros(shape, qdt), jnp.zeros(shape, qdt),
             jnp.zeros(shape[:-1], jnp.float32),
             jnp.zeros(shape[:-1], jnp.float32),
             jnp.zeros((batch, n_virt), jnp.int32),
@@ -401,13 +402,15 @@ def neox_stack(params, x, *, cfg: NeoXConfig, mask, positions,
         page = jnp.take_along_axis(pt, vp // ps, axis=1)          # [B, S]
         off = vp % ps
 
+        kv_dtype = cache.k.dtype
+
         def body(carry, i):
             h, ck, cv, cks, cvs = carry
             p = layer_view(layers, i)
             q, k, v = layer_qkv(p, h, cfg=cfg, cos=cos, sin=sin,
                                 positions=positions)
-            kq, ks = quantize_kv(k)
-            vq, vs = quantize_kv(v)
+            kq, ks = quantize_kv(k, kv_dtype)
+            vq, vs = quantize_kv(v, kv_dtype)
             # advanced-index scatter: (page, off) pairs per (b, s); the
             # advanced result group moves to the front -> values [B, S, H, *]
             ck = ck.at[i, page, :, off].set(kq.transpose(0, 2, 1, 3))

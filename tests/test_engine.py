@@ -243,3 +243,20 @@ def test_engine_state_stays_sharded():
     eng.run(max_steps=50)
     spec = eng.cache.k.sharding.spec
     assert "data" in str(spec) and "model" in str(spec), spec
+
+
+def test_engine_paged_int4_serves():
+    cfg, params = _setup(seed=11)
+    rng = np.random.default_rng(11)
+    eng = ContinuousBatchingEngine(params, cfg, n_slots=2, max_blocks=12,
+                                   kv_cache="paged-int4", page_size=4)
+    for n in (8, 10):
+        eng.submit(rng.integers(1, VOCAB, size=n), 4)
+    reqs = list(eng.waiting)
+    eng.run(max_steps=60)
+    assert not eng.has_work()
+    import jax.numpy as jnp
+    assert eng.cache.k.dtype == jnp.int4
+    for r in reqs:
+        assert len(r.generated) > 0
+        assert all(0 <= t < VOCAB for t in r.generated)
