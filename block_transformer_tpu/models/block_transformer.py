@@ -72,7 +72,8 @@ def block_transformer_forward(params, cfg: BlockTransformerConfig,
                               input_ids, attention_mask, block_attention_mask,
                               labels=None, compute_logits: bool = None,
                               remat: bool = False,
-                              block_decoder_fn=None) -> BlockTransformerOutput:
+                              block_decoder_fn=None,
+                              token_decoder_stack_fn=None) -> BlockTransformerOutput:
     """input_ids/attention_mask: [B, N, L]; block_attention_mask: [B, N];
     labels: [B, N, L] with -100 on ignored positions (or None for eval).
 
@@ -133,7 +134,8 @@ def block_transformer_forward(params, cfg: BlockTransformerConfig,
 
     logits = td.token_decoder_train_forward(
         params["token_decoder"], cfg.token_decoder, td_ids, td_att,
-        block_embeddings, cfg.expansion_ratio, cfg.block_length, remat=remat)
+        block_embeddings, cfg.expansion_ratio, cfg.block_length, remat=remat,
+        stack_fn=token_decoder_stack_fn)
     # [Bb, L, V] predicting x1..xL
 
     token_loss = None
@@ -156,7 +158,8 @@ def block_transformer_forward(params, cfg: BlockTransformerConfig,
         own_embeds = block_embeds[:, 1:, :, :].reshape(B * (N - 1), n_emb, ph)
         ae_logits = td.token_decoder_train_forward(
             params["token_decoder"], cfg.token_decoder, td_ids, td_att,
-            own_embeds, cfg.expansion_ratio, cfg.block_length, remat=remat)
+            own_embeds, cfg.expansion_ratio, cfg.block_length, remat=remat,
+            stack_fn=token_decoder_stack_fn)
         weight = (att_s.astype(jnp.float32)
                   * (labels_s != -100).astype(jnp.float32)
                   * blk_s.astype(jnp.float32)[:, None])

@@ -100,7 +100,7 @@ def expand_block_embeddings(params, cfg: TokenDecoderConfig, block_embeddings,
 def token_decoder_train_forward(params, cfg: TokenDecoderConfig,
                                 input_ids, attention_mask, block_embeddings,
                                 expansion_ratio: int, block_length: int,
-                                remat: bool = False):
+                                remat: bool = False, stack_fn=None):
     """Teacher-forced forward over one block per row.
 
     input_ids: [Bb, L+1] = [BOS, x1..xL]; attention_mask: [Bb, L+1] with
@@ -124,6 +124,10 @@ def token_decoder_train_forward(params, cfg: TokenDecoderConfig,
         return neox.embed_tokens(params, ids)
 
     def _stack(x, mask, positions):
+        if stack_fn is not None:
+            # parallel/pipeline.py substitutes the pp-scheduled stack here
+            assert not is_gpt_neo, "pp token decoder supports the NeoX family"
+            return stack_fn(params, x, mask, positions)
         if is_gpt_neo:
             from block_transformer_tpu.models import gpt_neo as gn
             return gn.gpt_neo_token_decoder_forward(

@@ -11,12 +11,14 @@ classic GPipe schedule — at tick ``t`` stage ``p`` processes microbatch
 backward pass reverses the ppermute ring automatically, giving 1F1B-style
 communication without hand-written backward plumbing.
 
-Scope: the block decoder is the deep trunk of the architecture and the
-natural pipeline stage; the embedder and token decoder stay data-parallel
-(they are per-block computations with no sequence-long dependency). The
-final psum that returns the last stage's outputs to every pipe replica is
-the simple-and-correct choice at dryrun scale — on a pod you would keep
-activations on the last stage and place the token decoder there.
+Scope: BOTH decoder trunks pipeline over the same ``pipe`` axis — the
+block decoder via ``make_pp_block_decoder_forward`` and the token
+decoder's NeoX stack via ``make_pp_token_decoder_stack`` (substituted
+through ``token_decoder_train_forward(stack_fn=...)``); the embedder and
+LM head stay data-parallel. The final psum that returns the last stage's
+outputs to every pipe replica is the simple-and-correct choice at dryrun
+scale — on a pod you would keep activations on the last stage and chain
+the next trunk's first stage there.
 
 Bubble fraction is the usual (P-1)/(m+P-1) for P stages and m
 microbatches; pick ``n_micro`` >= 4*P to keep it under ~20%.
@@ -127,13 +129,34 @@ def make_pp_block_decoder_forward(mesh: Mesh, n_micro: int):
     return forward
 
 
-def pp_param_pspecs(params, mesh: Mesh) -> dict:
-    """param_pspecs with the block-decoder layer stack sharded over
-    ``pipe`` on its leading (layer) axis. Axes the mesh doesn't have
-    (e.g. ``model`` on a pure (data, pipe) mesh) fall back to replicated."""
+def make_pp_token_decoder_stack(mesh: Mesh, td_cfg, n_micro: int,
+                                remat: bool = False):
+    """``stack_fn`` for models.token_decoder.token_decoder_train_forward:
+    the token-decoder NeoX stack runs GPipe-pipelined over ``pipe`` (same
+    schedule as the block decoder — both trunks share the axis, so a
+    (data, pipe) mesh pipelines the whole model's depth)."""
+    fn = make_pp_neox_layers(mesh, td_cfg.neox, n_micro, remat=remat)
+
+    def stack(params, x, mask, positions):
+        del positions      # the pipelined stack uses arange(S), identical
+        h = fn(params["layers"], x, mask.q_idx, mask.kv_idx, mask.kv_valid)
+        return neox.layer_norm(h, params["final_ln"],
+                               td_cfg.neox.layer_norm_eps)
+
+    return stack
+
+
+def pp_param_pspecs(params, mesh: Mesh,
+                    pipe_token_decoder: bool = False) -> dict:
+    """param_pspecs with the decoder layer stacks sharded over ``pipe`` on
+    their leading (layer) axis (token decoder only when its stack actually
+    runs pipelined). Axes the mesh doesn't have (e.g. ``model`` on a pure
+    (data, pipe) mesh) fall back to replicated."""
     from block_transformer_tpu.parallel import sharding as sh
     pspecs = sh.param_pspecs(params)
     have = set(mesh.axis_names)
+    piped = ("block_decoder", "token_decoder") if pipe_token_decoder \
+        else ("block_decoder",)
 
     def scrub(entry):
         if entry is None:
@@ -146,7 +169,7 @@ def pp_param_pspecs(params, mesh: Mesh) -> dict:
     def reshard(path, spec):
         names = sh._path_names(path)
         parts = [scrub(e) for e in spec]
-        if names[0] == "block_decoder" and "layers" in names:
+        if names[0] in piped and "layers" in names:
             parts[0] = "pipe"
         return P(*parts)
 
@@ -163,12 +186,19 @@ def make_pp_train_step(mesh: Mesh, cfg, tx, params, n_micro: int,
     from block_transformer_tpu.train import train_step as ts
 
     bd_fn = make_pp_block_decoder_forward(mesh, n_micro)
+    td_fn = (make_pp_token_decoder_stack(mesh, cfg.token_decoder, n_micro,
+                                         remat=remat)
+             if cfg.token_decoder.cls == "gpt-neo-x"
+             and cfg.token_decoder.decoding_strategy != "cross_attention"
+             and cfg.token_decoder.neox.num_layers % mesh.shape["pipe"] == 0
+             else None)
 
     def loss_fn(p, batch):
         out = bt.block_transformer_forward(
             p, cfg, batch["input_ids"], batch["attention_mask"],
             batch["block_attention_mask"], labels=batch["labels"],
-            compute_logits=False, remat=remat, block_decoder_fn=bd_fn)
+            compute_logits=False, remat=remat, block_decoder_fn=bd_fn,
+            token_decoder_stack_fn=td_fn)
         return out.loss, {"loss": out.loss}
 
     def train_step(state, batch):
@@ -179,7 +209,8 @@ def make_pp_train_step(mesh: Mesh, cfg, tx, params, n_micro: int,
                                   state.params, updates)
         return ts.TrainState(new_params, opt_state, state.step + 1), metrics
 
-    pspecs = pp_param_pspecs(params, mesh)
+    pspecs = pp_param_pspecs(params, mesh,
+                             pipe_token_decoder=td_fn is not None)
     opt_pspecs = ts._opt_state_pspecs(tx, params, pspecs, mesh)
     state_spec = ts.TrainState(params=pspecs, opt_state=opt_pspecs, step=P())
     bp = P(_batch_axes(mesh))
