@@ -182,17 +182,29 @@ def _two_level_decomposition(params, cfg, batch, prefill, decode, dtype,
                                                 (be, cache, kv_valid))
         return be
 
+    # the in-jit cache creation above zero-fills multi-GB buffers that real
+    # decode never pays per step: time a create-only program and subtract
+    @jax.jit
+    def cache_only(be):
+        cache = neox.make_kv_cache(cfg.block_decoder, batch, capacity,
+                                   kv_cache, dtype=dtype)
+        return be + jax.tree.leaves(cache)[0].astype(be.dtype)[0, 0, 0, 0]
+
     out = {}
     jax.block_until_ready(token_stage(params, be))
     t0 = time.perf_counter()
     jax.block_until_ready(token_stage(params, be))
     out["token_decoder_ms_per_block_step"] = \
         1e3 * (time.perf_counter() - t0) / iters
+    jax.block_until_ready(cache_only(be))
+    t0 = time.perf_counter()
+    jax.block_until_ready(cache_only(be))
+    fill_s = time.perf_counter() - t0
     jax.block_until_ready(block_stage(params, be))
     t0 = time.perf_counter()
     jax.block_until_ready(block_stage(params, be))
     out["block_decoder_ms_per_block_step"] = \
-        1e3 * (time.perf_counter() - t0) / iters
+        1e3 * max(0.0, time.perf_counter() - t0 - fill_s) / iters
     return out
 
 

@@ -492,6 +492,12 @@ class ContinuousBatchingEngine:
                 del self.active[s]
                 if self.kv_kind.startswith("paged"):
                     self._free_pages.extend(self._slot_pages.pop(s, []))
+                    # point the dead slot at the null page: decode windows
+                    # run for EVERY slot (liveness only masks tokens), so a
+                    # stale row would keep scattering K/V into pages that
+                    # may since belong to another request
+                    self.cache = self.cache._replace(
+                        page_table=self.cache.page_table.at[s].set(0))
             self.stats.prompts_finished += 1
 
     def step(self):

@@ -229,6 +229,9 @@ def make_kv_cache(cfg: NeoXConfig, batch: int, capacity: int, kind: str,
         return QuantKVCache.create(cfg, batch, capacity)
     if kind == "int4":
         return QuantKVCache.create(cfg, batch, capacity, bits=4)
+    if kind != "bf16":
+        raise ValueError(f"unknown kv cache kind {kind!r} "
+                         "(expected bf16/int8/int4)")
     return KVCache.create(cfg, batch, capacity, dtype=dtype)
 
 

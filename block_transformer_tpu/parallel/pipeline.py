@@ -38,7 +38,8 @@ from block_transformer_tpu.ops import masks as masks_lib
 
 
 def _batch_axes(mesh: Mesh) -> tuple:
-    return tuple(a for a in mesh.axis_names if a in ("dcn", "data"))
+    from block_transformer_tpu.parallel import sharding as sh
+    return sh.data_axes(mesh)
 
 
 def make_pp_neox_layers(mesh: Mesh, cfg, n_micro: int, remat: bool = False):

@@ -93,9 +93,25 @@ def seq_constraint(x: jax.Array, seq_dim: int = 1) -> jax.Array:
 # Parameter partition specs by path pattern
 # ---------------------------------------------------------------------------
 
-def _neox_pspec(path_tail: tuple) -> P:
+def _neox_pspec(path_tail: tuple, ndim: int = None) -> P:
     """Rules for one neox stack (leaves have a stacked layer axis first for
-    'layers' entries; embed/final entries do not)."""
+    'layers' entries; embed/final entries do not).
+
+    Quantized trees: ``kernel_q8``/``kernel_q4`` follow their fp kernel's
+    spec (the packed-int4 halved K keeps the same axis meaning); a
+    ``scale`` leaf is per-output-channel — it shards on ``model`` exactly
+    when its kernel is column-parallel (spec ends in 'model'), else
+    replicates (row-parallel partial sums are scaled after the psum —
+    scaling is linear so per-shard scaling commutes)."""
+    if path_tail and path_tail[-1] in ("kernel_q8", "kernel_q4"):
+        path_tail = path_tail[:-1] + ("kernel",)
+    elif path_tail and path_tail[-1] == "scale" and len(path_tail) > 1 \
+            and path_tail[-2] in ("qkv", "out", "up", "down", "embed_out",
+                                  "expansion"):
+        base = _neox_pspec(path_tail[:-1] + ("kernel",))
+        n = ndim if ndim is not None else len(base)
+        last = "model" if base[-1] == "model" else None
+        return P(*([None] * (n - 1) + [last]))
     p = "/".join(path_tail)
     rules = {
         "layers/attn/qkv/kernel": P(None, None, "model"),
@@ -142,7 +158,7 @@ def param_pspecs(params) -> dict:
             return P(None)
         if names[0] in ("block_decoder", "token_decoder"):
             names = names[1:]
-        return _neox_pspec(names)
+        return _neox_pspec(names, ndim=getattr(leaf, "ndim", None))
 
     return jax.tree_util.tree_map_with_path(spec, params)
 

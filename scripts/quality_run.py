@@ -480,6 +480,8 @@ def write_report(args, r):
         f"{100*d.get('int4_kv_vs_bf16_kv_match', float('nan')):.2f}% token match",
         f"- INT8 weights + INT4 KV vs full precision: "
         f"{100*d.get('int8_w_int4_kv_vs_fp_match', float('nan')):.2f}% token match",
+        f"- mixed48 weights + INT4 KV vs full precision: "
+        f"{100*d.get('mixed48_int4_kv_vs_fp_match', float('nan')):.2f}% token match",
         "",
         "Training loss curves: `results/quality/*/metrics.jsonl` "
         "(per-component losses + fp64 loss-by-position).",

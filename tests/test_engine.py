@@ -260,3 +260,45 @@ def test_engine_paged_int4_serves():
     for r in reqs:
         assert len(r.generated) > 0
         assert all(0 <= t < VOCAB for t in r.generated)
+
+
+def test_engine_paged_frees_page_table_rows():
+    """Freed slots must point at the null page: decode windows run for
+    every slot, so a stale page_table row would scatter a dead slot's K/V
+    into pages since reallocated to another request."""
+    cfg, params = _setup(seed=13)
+    rng = np.random.default_rng(13)
+    eng = ContinuousBatchingEngine(params, cfg, n_slots=2, max_blocks=12,
+                                   kv_cache="paged", page_size=4)
+    for n in (8, 12, 6):
+        eng.submit(rng.integers(1, VOCAB, size=n), 4)
+    eng.run(max_steps=80)
+    assert not eng.has_work()
+    assert (np.asarray(eng.cache.page_table) == 0).all()
+    assert sorted(eng._free_pages) == list(range(1, eng.pool_pages))
+
+
+def test_engine_sharded_quantized():
+    """Mesh-sharded serving with quantized weights (the headline numbers'
+    config): param specs must cover kernel_q8/scale leaves, and the
+    generations must match the single-device quantized engine."""
+    from block_transformer_tpu.parallel import sharding as sh
+    from block_transformer_tpu.ops import quant
+
+    cfg, params = _setup(seed=15)
+    qparams = quant.quantize_block_transformer(params, bits=8)
+    rng = np.random.default_rng(15)
+    prompts = [rng.integers(1, VOCAB, size=n) for n in (8, 10)]
+
+    def run_engine(**kw):
+        eng = ContinuousBatchingEngine(qparams, cfg, n_slots=2, max_blocks=12,
+                                       kv_cache="int8", **kw)
+        for p in prompts:
+            eng.submit(p, 4)
+        reqs = list(eng.waiting)
+        eng.run(max_steps=60)
+        return [r.generated for r in reqs]
+
+    want = run_engine()
+    got = run_engine(mesh=sh.make_mesh(n_data=2, n_model=4))
+    assert got == want, (got, want)
