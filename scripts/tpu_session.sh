@@ -1,20 +1,23 @@
 #!/bin/bash
-# One-shot TPU validation sequence for when the tunnel returns:
-#  1. token/block stage race: int8 vs mixed48 weights (small compiles)
-#  2. quality eval: mixed48 ppl + int4-KV / mixed48+int4KV decode agreement
-#  3. prefill decomposition at the headline shape
-# Appends everything to results/tpu_session.log.
+# One-shot TPU validation/racing sequence for when the tunnel returns.
+# Priorities: (1) race chunked prefill attention end-to-end, (2) race
+# mixed48+int4KV, (3) stage probe + prefill decomposition. Appends to
+# results/tpu_session.log; each step bounded so one hang can't eat the rest.
 set -x
 LOG=results/tpu_session.log
 mkdir -p results
 {
   echo "=== tpu_session $(date -u) ==="
-  timeout 3000 python scripts/mixed48_stage_probe.py 2>&1 | grep -v WARNING
-  echo "--- quality (w8a8 + int4kv + mixed48) ---"
-  timeout 3000 python scripts/quality_run.py --corpus /root/corpus/pybytes \
-      --skip_train --steps 3000 --batch 64 --max_length 1024 \
-      --out results/quality_w8a8 2>&1 | tail -30
-  echo "--- prefill profile ---"
-  timeout 3000 python scripts/prefill_profile.py 2>&1 | grep -v WARNING
+  echo "--- race 1: chunked prefill attention (default int4 KV headline) ---"
+  BT_CHUNKED_PREFILL_ATTN=1 timeout 4200 python bench.py \
+      --detail_out BENCH_DETAIL_chunked.json 2>&1 | grep -v WARNING | tail -4
+  echo "--- race 2: mixed48 weights + int4 KV ---"
+  timeout 5400 python bench.py --quantize mixed48 \
+      --detail_out BENCH_DETAIL_mixed48.json 2>&1 | grep -v WARNING | tail -4
+  echo "--- stage probe (token/block ms per step, int8 vs mixed48) ---"
+  timeout 2400 python scripts/mixed48_stage_probe.py 2>&1 | grep -v WARNING
+  echo "--- prefill decomposition ---"
+  timeout 2400 python scripts/prefill_profile.py 2>&1 | grep -v WARNING
+  echo "=== done $(date -u) ==="
 } >> "$LOG" 2>&1
-tail -5 "$LOG"
+tail -8 "$LOG"
