@@ -367,6 +367,7 @@ class ContinuousBatchingEngine:
         # preprocess + bucket every admissible prompt, grouping by bucket so
         # same-length-bucket prompts prefill together in ONE batched call
         groups: Dict[int, list] = {}
+        skipped: List[Request] = []          # didn't fit the page pool now
         while free and self.waiting:
             slot = free.pop(0)
             req = self.waiting.pop(0)
@@ -384,17 +385,18 @@ class ContinuousBatchingEngine:
                 continue
             if self.kv_kind.startswith("paged"):
                 # allocate this request's pages now (prompt + full budget,
-                # so decode never needs a mid-flight grow); head-of-line
-                # blocking if the pool is exhausted — pages free as
-                # requests finish
+                # so decode never needs a mid-flight grow); first-fit when
+                # the pool is tight — a large head request doesn't convoy
+                # smaller ones behind it (skipped requests keep queue order
+                # and retry next admission as pages free)
                 blocks_budget = (req.max_new_tokens + L - 1) // L
                 n_emb = self.cfg.n_embedding_tokens
                 need = min(self.n_virt,
                            -(-((N + blocks_budget) * n_emb) // self.page_size))
                 if len(self._free_pages) < need:
-                    self.waiting.insert(0, req)
+                    skipped.append(req)
                     free.insert(0, slot)
-                    break
+                    continue
                 pgs = [self._free_pages.pop() for _ in range(need)]
                 self._slot_pages[slot] = pgs
                 row = np.zeros((self.n_virt,), np.int32)
@@ -404,6 +406,8 @@ class ContinuousBatchingEngine:
                         jnp.asarray(row)))
             Nb = min(_round_up(N, self.bucket_blocks), self.max_blocks)
             groups.setdefault(Nb, []).append((slot, req, d, N))
+        if skipped:
+            self.waiting = skipped + self.waiting
         for Nb, batch in groups.items():
             ids = np.concatenate([
                 np.pad(d["input_ids"], ((0, 0), (0, Nb - N), (0, 0)),

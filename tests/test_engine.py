@@ -302,3 +302,33 @@ def test_engine_sharded_quantized():
     want = run_engine()
     got = run_engine(mesh=sh.make_mesh(n_data=2, n_model=4))
     assert got == want, (got, want)
+
+
+def test_engine_paged_first_fit_admission():
+    """A large request that can't get pages must not convoy smaller ones:
+    first-fit admits the small request now, the large one when pages free."""
+    cfg, params = _setup(seed=17)
+    rng = np.random.default_rng(17)
+    big = rng.integers(1, VOCAB, size=28)          # 7 blocks + budget
+    small = rng.integers(1, VOCAB, size=4)         # 1 block + budget
+    # 3 usable pages of 4 block-positions each: occupant holds 1 page
+    # (2 prompt + 1 budget blocks), big needs 3 (7 + 2 blocks) and cannot
+    # coexist; small needs 1 (1 + 1 blocks) and can
+    eng = ContinuousBatchingEngine(params, cfg, n_slots=3, max_blocks=12,
+                                   kv_cache="paged", page_size=4,
+                                   pool_pages=4)
+    occupant = rng.integers(1, VOCAB, size=8)
+    eng.submit(occupant, 4)
+    eng._admit()
+    assert len(eng.active) == 1
+    uid_big = eng.submit(big, 8)
+    uid_small = eng.submit(small, 4)
+    reqs = {r.uid: r for r in eng.waiting}
+    eng._admit()
+    admitted = {r.uid for r in eng.active.values()}
+    assert uid_small in admitted and uid_big not in admitted
+    # queue order preserved: big retries at the front
+    assert eng.waiting and eng.waiting[0].uid == uid_big
+    eng.run(max_steps=100)
+    assert not eng.has_work()
+    assert reqs[uid_big].generated and reqs[uid_small].generated
