@@ -77,6 +77,12 @@ def _round_up(x, m):
     return -(-x // m) * m
 
 
+def _leaf_names(tree):
+    import jax.tree_util as jtu
+    for path, _ in jtu.tree_flatten_with_path(tree)[0]:
+        yield "/".join(getattr(k, "key", str(k)) for k in path)
+
+
 class ContinuousBatchingEngine:
     def __init__(self, params, cfg: BlockTransformerConfig, *, n_slots: int = 8,
                  max_blocks: int = 512, greedy: bool = True,
@@ -176,6 +182,13 @@ class ContinuousBatchingEngine:
         need page-granular sharding and cross-slot scatter collectives.)"""
         assert not self.kv_kind.startswith("paged"), \
             "paged pool is single-device for now"
+        # INT4 weights dispatch to a Pallas kernel, and pallas_call under
+        # GSPMD-sharded operands needs a shard_map wrapper we don't have
+        # yet — serve bf16/int8 weights on meshes (int8 uses the XLA path)
+        assert not any(k.endswith("kernel_q4")
+                       for k in _leaf_names(self.params)), \
+            "mesh-sharded serving supports fp/int8 weights (int4 kernels " \
+            "need a shard_map wrapper)"
         from jax.sharding import NamedSharding, PartitionSpec as P
         from block_transformer_tpu.parallel import sharding as sh
         assert self.n_slots % np.prod(
