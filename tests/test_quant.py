@@ -226,3 +226,35 @@ def test_mixed_precision_quantization():
     # int4 token decoder dominates the error; logits must stay correlated
     corr = np.corrcoef(a.ravel(), b.ravel())[0, 1]
     assert corr > 0.98, corr
+
+
+def test_vanilla_decode_quantized_kv():
+    """The vanilla family serves from int8/int4 KV caches through the same
+    neox_stack dispatch as the block model (reference parity: vanilla
+    pretrain/serve is a first-class family, not a baseline-only stub)."""
+    from block_transformer_tpu.config import NeoXConfig
+    from block_transformer_tpu.models import vanilla, neox
+
+    cfg = NeoXConfig(vocab_size=128, hidden_size=64, num_layers=2,
+                     num_heads=2, intermediate_size=128,
+                     max_position_embeddings=64)
+    params = vanilla.init_vanilla_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(1, 127, size=(2, 8)), jnp.int32)
+
+    outs = {}
+    for kind in ("bf16", "int8", "int4"):
+        cache = neox.make_kv_cache(cfg, 2, 24, kind, dtype=jnp.float32)
+        logits, cache = vanilla.vanilla_prefill(params, cfg, ids, cache)
+        toks = [jnp.argmax(logits, -1)]
+        for _ in range(4):
+            logits, cache = vanilla.vanilla_decode_step(params, cfg,
+                                                        toks[-1], cache)
+            toks.append(jnp.argmax(logits, -1))
+        outs[kind] = np.stack([np.asarray(t) for t in toks])
+    np.testing.assert_array_equal(outs["bf16"].shape, outs["int8"].shape)
+    # int8 KV tracks bf16 closely at this scale; int4 must at least run
+    # and emit valid ids
+    agree8 = (outs["bf16"] == outs["int8"]).mean()
+    assert agree8 >= 0.6, agree8
+    assert (outs["int4"] >= 0).all() and (outs["int4"] < 128).all()
