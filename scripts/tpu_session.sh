@@ -1,23 +1,27 @@
 #!/bin/bash
 # One-shot TPU validation/racing sequence for when the tunnel returns.
-# Priorities: (1) race chunked prefill attention end-to-end, (2) race
-# mixed48+int4KV, (3) stage probe + prefill decomposition. Appends to
-# results/tpu_session.log; each step bounded so one hang can't eat the rest.
+# Ordered by information-per-minute: cheap stage probes first (they answer
+# the mixed48 question without the full-graph compile), then the full
+# races. Appends to results/tpu_session.log; each step bounded so one hang
+# can't eat the rest.
 set -x
 LOG=results/tpu_session.log
 mkdir -p results
 {
   echo "=== tpu_session $(date -u) ==="
+  echo "--- probe 1: mixed48 stage probe (token/block ms per step, int8 vs int4 token decoder) ---"
+  timeout 2400 python scripts/mixed48_stage_probe.py 2>&1 | grep -v WARNING
+  echo "--- probe 2: prefill decomposition ---"
+  timeout 2400 python scripts/prefill_profile.py 2>&1 | grep -v WARNING
   echo "--- race 1: chunked prefill attention (default int4 KV headline) ---"
   BT_CHUNKED_PREFILL_ATTN=1 timeout 4200 python bench.py \
       --detail_out BENCH_DETAIL_chunked.json 2>&1 | grep -v WARNING | tail -4
-  echo "--- race 2: mixed48 weights + int4 KV ---"
-  timeout 5400 python bench.py --quantize mixed48 \
+  echo "--- race 2: mixed48 weights + int4 KV (full-graph compile is the long pole; 2h budget) ---"
+  timeout 7200 python bench.py --quantize mixed48 \
       --detail_out BENCH_DETAIL_mixed48.json 2>&1 | grep -v WARNING | tail -4
-  echo "--- stage probe (token/block ms per step, int8 vs mixed48) ---"
-  timeout 2400 python scripts/mixed48_stage_probe.py 2>&1 | grep -v WARNING
-  echo "--- prefill decomposition ---"
-  timeout 2400 python scripts/prefill_profile.py 2>&1 | grep -v WARNING
+  echo "--- validation: paged KV pool engine on TPU ---"
+  timeout 3600 python bench.py --engine --engine_kv paged --decode 64 \
+      --detail_out BENCH_DETAIL_paged.json 2>&1 | grep -v WARNING | tail -6
   echo "=== done $(date -u) ==="
 } >> "$LOG" 2>&1
-tail -8 "$LOG"
+tail -12 "$LOG"
