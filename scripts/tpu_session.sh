@@ -19,6 +19,11 @@ mkdir -p results
   echo "--- race 2: mixed48 weights + int4 KV (full-graph compile is the long pole; 2h budget) ---"
   timeout 7200 python bench.py --quantize mixed48 \
       --detail_out BENCH_DETAIL_mixed48.json 2>&1 | grep -v WARNING | tail -4
+  if [ ! -s BENCH_DETAIL_mixed48.json ]; then
+    echo "--- race 2b (fallback): mixed48 with W8A8 off (smaller graph; W8A8 is prefill-only) ---"
+    BT_W8A8=0 timeout 7200 python bench.py --quantize mixed48 \
+        --detail_out BENCH_DETAIL_mixed48_now8a8.json 2>&1 | grep -v WARNING | tail -4
+  fi
   echo "--- validation: paged KV pool engine on TPU ---"
   timeout 3600 python bench.py --engine --engine_kv paged --decode 64 \
       --detail_out BENCH_DETAIL_paged.json 2>&1 | grep -v WARNING | tail -6
