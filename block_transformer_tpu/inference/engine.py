@@ -28,6 +28,14 @@ Round-2 design:
   platform).
 - Full sampling surface (greedy / temperature / top-k / top-p) threads to
   the shared ``decode_block_tokens``.
+- **Adaptive decode windows**: the window length is a *traced* argument
+  of one ``lax.while_loop`` program (single compile, device-side early
+  exit when every slot is dead), so the host sizes each window to the
+  next scheduling event — short (``sync_blocks``) while prompts wait for
+  a slot, up to ``max_window`` (the earliest budget exhaustion among
+  live slots) when the queue is empty. Fixed per-dispatch tunnel latency
+  (~34 ms measured) amortizes over the largest window the schedule
+  allows instead of a constant 8 blocks.
 
 All device work happens in two jitted functions; the scheduler is
 host-side Python, matching the design where XLA owns the math and the
@@ -88,7 +96,7 @@ class ContinuousBatchingEngine:
                  max_blocks: int = 512, greedy: bool = True,
                  temperature: float = 1.0, top_k: int = 0, top_p: float = 1.0,
                  kv_cache: str = "bf16", bucket_blocks: int = 64,
-                 sync_blocks: int = 4, seed: int = 0,
+                 sync_blocks: int = 4, max_window: int = 64, seed: int = 0,
                  page_size: int = 256, pool_pages: Optional[int] = None,
                  mesh=None):
         self.params = params
@@ -100,10 +108,14 @@ class ContinuousBatchingEngine:
         self.top_k = top_k
         self.top_p = top_p
         self.bucket_blocks = max(1, bucket_blocks)
-        # blocks decoded per host sync: admission latency granularity vs
-        # device->host roundtrips (the tunnel's per-sync latency dominated
-        # the per-block engine at 17% of static throughput)
+        # blocks decoded per host sync UNDER QUEUE PRESSURE: admission
+        # latency granularity vs device->host roundtrips (the tunnel's
+        # per-sync latency dominated the per-block engine at 17% of static
+        # throughput). With an empty queue windows grow adaptively up to
+        # max_window (the decode program takes the window length as a
+        # traced argument — one compile covers every size).
         self.sync_blocks = max(1, sync_blocks)
+        self.max_window = max(self.sync_blocks, max_window)
         n = cfg.n_embedding_tokens
         ph = cfg.embedder.projection_hidden_size
         # activation dtype: follow a (never-quantized) embedder table — the
@@ -159,6 +171,7 @@ class ContinuousBatchingEngine:
 
         # host-side bookkeeping
         self.active: Dict[int, Request] = {}   # slot -> request
+        self._dispatched: Dict[int, int] = {}  # slot -> blocks dispatched
         self.waiting: List[Request] = []
         self.completed: List[Request] = []
         self.stats = EngineStats()
@@ -305,7 +318,7 @@ class ContinuousBatchingEngine:
         n = cfg.n_embedding_tokens
         L = cfg.block_length
         cap = self.cap
-        I = self.sync_blocks
+        I = self.max_window
 
         def one_block(params, carry, _):
             """One block for every live slot. Per-slot write offsets feed
@@ -351,20 +364,38 @@ class ContinuousBatchingEngine:
 
         @functools.partial(jax.jit, donate_argnums=(1, 2, 3, 4, 5, 6, 7))
         def decode_window(params, cache, kv_valid, next_embeds, slot_len,
-                          alive, blocks_left, key):
-            """``sync_blocks`` block steps in ONE dispatch. The host syncs
-            (device->host token copy over the tunnel, ~tens of ms of
+                          alive, blocks_left, key, window_len):
+            """Up to ``max_window`` block steps in ONE dispatch. The host
+            syncs (device->host token copy over the tunnel, ~tens of ms of
             latency) once per window instead of once per block — the
             per-block sync measured the engine at 17% of static-batch
-            throughput. EOS and per-slot token budgets live ON DEVICE
-            (``alive``/``blocks_left`` thread through and come back), so a
-            finished slot stops paying even if the host consumes results a
-            window late (the pipelined ``run`` loop).
+            throughput. ``window_len`` is a *traced* scalar: one compile
+            serves every window size the scheduler picks, and the
+            while_loop exits early when every slot is dead, so oversized
+            windows never pay for dead blocks. EOS and per-slot token
+            budgets live ON DEVICE (``alive``/``blocks_left`` thread
+            through and come back), so a finished slot stops paying even
+            if the host consumes results a window late (the pipelined
+            ``run`` loop). Buffer rows past the executed prefix keep their
+            pad/False init — the host trims to the window_len it chose.
             """
+            B = next_embeds.shape[0]
+            tokens_buf = jnp.full((I, B, L), cfg.pad_token_id, jnp.int32)
+            eos_buf = jnp.zeros((I, B), bool)
             carry = (cache, kv_valid, next_embeds, slot_len,
                      alive, blocks_left, key)
-            carry, (tokens, has_eos) = jax.lax.scan(
-                functools.partial(one_block, params), carry, None, length=I)
+
+            def cond(state):
+                i, _, _, c = state
+                return (i < window_len) & jnp.any(c[4] & (c[5] > 0))
+
+            def body(state):
+                i, tok, eos, c = state
+                c, (t, he) = one_block(params, c, None)
+                return i + 1, tok.at[i].set(t), eos.at[i].set(he), c
+
+            _, tokens, has_eos, carry = jax.lax.while_loop(
+                cond, body, (jnp.int32(0), tokens_buf, eos_buf, carry))
             (cache, kv_valid, next_embeds, slot_len, alive, blocks_left,
              key) = carry
             # tokens: [I, B, L] -> [B, I, L]; has_eos: [I, B] -> [B, I]
@@ -446,16 +477,41 @@ class ContinuousBatchingEngine:
                 np.int32))
             for slot, req, _, _ in batch:
                 self.active[slot] = req
+                self._dispatched[slot] = 0
                 self.stats.prompts_admitted += 1
 
-    def _dispatch(self):
+    def _target_window(self) -> int:
+        """Blocks until the next scheduling event the host can foresee:
+        the earliest budget exhaustion among active slots (a slot can only
+        free at EOS — unpredictable, device-masked — or budget end, which
+        the host tracks exactly via dispatched-block counts). Capped at
+        ``sync_blocks`` while prompts wait for a slot, so admission
+        latency stays bounded under queue pressure; 0 when every active
+        slot's budget is already fully covered by in-flight windows."""
+        L = self.cfg.block_length
+        rem = []
+        for s, req in self.active.items():
+            r = -(-req.max_new_tokens // L) - self._dispatched.get(s, 0)
+            if r > 0:
+                rem.append(r)
+        if not rem:
+            return 0
+        wl = min(min(rem), self.max_window)
+        if self.waiting:
+            wl = min(wl, self.sync_blocks)
+        return max(1, wl)
+
+    def _dispatch(self, window_len: Optional[int] = None):
         """Queue one decode window on the device (non-blocking) and return
         the device token/eos handles with the slot snapshot they cover."""
+        wl = window_len or self.sync_blocks
         (tokens, has_eos, self.cache, self.kv_valid, self.next_embeds,
          self.slot_len, self.alive, self.blocks_left, self.key) = \
             self._decode(self.params, self.cache, self.kv_valid,
                          self.next_embeds, self.slot_len, self.alive,
-                         self.blocks_left, self.key)
+                         self.blocks_left, self.key, np.int32(wl))
+        for s in self.active:
+            self._dispatched[s] = self._dispatched.get(s, 0) + wl
         self.stats.steps += 1
         # start the device->host copies NOW: transfers are stream-ordered,
         # so a copy first requested at consume time would queue BEHIND the
@@ -470,12 +526,14 @@ class ContinuousBatchingEngine:
         # slot freed by an earlier window may be re-admitted to a NEW
         # request before this window is consumed — its tokens must still be
         # attributed to the request that was live when it was dispatched
-        return tokens, has_eos, dict(self.active)
+        return tokens, has_eos, dict(self.active), wl
 
     def _consume(self, window):
-        """Host-side trim of one window's tokens ([B, sync_blocks, L]).
+        """Host-side trim of one window's tokens ([B, max_window, L]).
+        Only the first ``wl`` blocks were (possibly) executed — rows past
+        that keep their pad init and must not be read as output.
         ``np.asarray`` here is the one device->host sync per window."""
-        tokens_d, eos_d, snapshot = window
+        tokens_d, eos_d, snapshot, wl = window
         tokens = np.asarray(tokens_d)
         has_eos = np.asarray(eos_d)
         finished = []
@@ -483,7 +541,7 @@ class ContinuousBatchingEngine:
             if req.done:
                 continue
             eos = False
-            for i in range(tokens.shape[1]):
+            for i in range(min(wl, tokens.shape[1])):
                 if eos or len(req.generated) >= req.max_new_tokens:
                     break
                 block = [int(t) for t in tokens[s, i]]
@@ -507,6 +565,7 @@ class ContinuousBatchingEngine:
             self.completed.append(req)
             if self.active.get(s) is req:
                 del self.active[s]
+                self._dispatched.pop(s, None)
                 if self.kv_kind.startswith("paged"):
                     self._free_pages.extend(self._slot_pages.pop(s, []))
                     # point the dead slot at the null page: decode windows
@@ -518,12 +577,12 @@ class ContinuousBatchingEngine:
             self.stats.prompts_finished += 1
 
     def step(self):
-        """Admit waiting prompts, then decode one ``sync_blocks`` window
+        """Admit waiting prompts, then decode one adaptively-sized window
         with ONE device dispatch + ONE host sync (unpipelined)."""
         self._admit()
         if not self.active:
             return
-        self._consume(self._dispatch())
+        self._consume(self._dispatch(self._target_window() or 1))
 
     def run(self, max_steps: int = 10_000) -> List[Request]:
         """Drive windows until all submitted work finishes (or max_steps);
@@ -535,12 +594,17 @@ class ContinuousBatchingEngine:
         overlaps the next window's compute. Device-side ``alive``/
         ``blocks_left`` keep EOS'd and budget-exhausted slots masked even
         though the host's view lags a window; the cost is that slot
-        turnover (finish -> readmit) also lags one window."""
+        turnover (finish -> readmit) also lags one window. Window sizes
+        come from ``_target_window`` — full remaining budgets when the
+        queue is empty, ``sync_blocks`` under queue pressure — so the
+        per-dispatch tunnel latency amortizes over the largest window the
+        schedule allows."""
         pending = None
         for _ in range(max_steps):
             self._admit()
-            if self.active:
-                nxt = self._dispatch()
+            wl = self._target_window() if self.active else 0
+            if wl > 0:
+                nxt = self._dispatch(wl)
             elif pending is None:
                 break
             else:

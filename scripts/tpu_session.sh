@@ -24,6 +24,10 @@ mkdir -p results
     BT_W8A8=0 timeout 7200 python bench.py --quantize mixed48 \
         --detail_out BENCH_DETAIL_mixed48_now8a8.json 2>&1 | grep -v WARNING | tail -4
   fi
+  echo "--- race 3: adaptive-window engine vs static at the same b16 (80% bar) ---"
+  timeout 4200 python bench.py --engine --batch 16 --vanilla_batch 16 \
+      --kv int8 --detail_out BENCH_DETAIL_engine_b16.json 2>&1 \
+      | grep -v WARNING | tail -4
   echo "--- validation: paged KV pool engine on TPU ---"
   timeout 3600 python bench.py --engine --engine_kv paged --decode 64 \
       --detail_out BENCH_DETAIL_paged.json 2>&1 | grep -v WARNING | tail -6
