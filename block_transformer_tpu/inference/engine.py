@@ -56,7 +56,12 @@ from block_transformer_tpu.config import BlockTransformerConfig
 from block_transformer_tpu.inference import generate as gen
 from block_transformer_tpu.models import embedder as emb
 from block_transformer_tpu.models import neox
+from block_transformer_tpu.ops import linear as ops_linear
 from block_transformer_tpu.ops import masks
+
+import contextlib
+
+_null_ctx = contextlib.nullcontext
 
 
 @dataclass
@@ -177,6 +182,13 @@ class ContinuousBatchingEngine:
         self.stats = EngineStats()
         self._uid = 0
 
+        # Under a mesh every quantized matmul must dispatch to XLA at
+        # trace time: pallas_call has no GSPMD partitioning rule (int4
+        # weights previously could not serve on meshes at all; the XLA
+        # dequant+dot partitions like any dot). Per-shard Pallas via
+        # shard_map is the round-3 lead.
+        self._trace_ctx = (ops_linear.pallas_disabled if mesh is not None
+                           else _null_ctx)
         if mesh is not None:
             self._shard_over(mesh)
 
@@ -195,13 +207,6 @@ class ContinuousBatchingEngine:
         need page-granular sharding and cross-slot scatter collectives.)"""
         assert not self.kv_kind.startswith("paged"), \
             "paged pool is single-device for now"
-        # INT4 weights dispatch to a Pallas kernel, and pallas_call under
-        # GSPMD-sharded operands needs a shard_map wrapper we don't have
-        # yet — serve bf16/int8 weights on meshes (int8 uses the XLA path)
-        assert not any(k.endswith("kernel_q4")
-                       for k in _leaf_names(self.params)), \
-            "mesh-sharded serving supports fp/int8 weights (int4 kernels " \
-            "need a shard_map wrapper)"
         from jax.sharding import NamedSharding, PartitionSpec as P
         from block_transformer_tpu.parallel import sharding as sh
         assert self.n_slots % np.prod(
@@ -465,10 +470,11 @@ class ContinuousBatchingEngine:
                 for _, _, d, N in batch])
             slots = np.asarray([s for s, _, _, _ in batch], np.int32)
             lens = np.asarray([N for _, _, _, N in batch], np.int32)
-            self.cache, self.kv_valid, self.next_embeds = self._prefill(
-                self.params, self.cache, self.kv_valid, self.next_embeds,
-                jnp.asarray(slots), jnp.asarray(lens), jnp.asarray(ids),
-                jnp.asarray(att), jnp.asarray(bam))
+            with self._trace_ctx():
+                self.cache, self.kv_valid, self.next_embeds = self._prefill(
+                    self.params, self.cache, self.kv_valid, self.next_embeds,
+                    jnp.asarray(slots), jnp.asarray(lens), jnp.asarray(ids),
+                    jnp.asarray(att), jnp.asarray(bam))
             sl = jnp.asarray(slots)
             self.slot_len = self.slot_len.at[sl].set(jnp.asarray(lens))
             self.alive = self.alive.at[sl].set(True)
@@ -505,11 +511,12 @@ class ContinuousBatchingEngine:
         """Queue one decode window on the device (non-blocking) and return
         the device token/eos handles with the slot snapshot they cover."""
         wl = window_len or self.sync_blocks
-        (tokens, has_eos, self.cache, self.kv_valid, self.next_embeds,
-         self.slot_len, self.alive, self.blocks_left, self.key) = \
-            self._decode(self.params, self.cache, self.kv_valid,
-                         self.next_embeds, self.slot_len, self.alive,
-                         self.blocks_left, self.key, np.int32(wl))
+        with self._trace_ctx():
+            (tokens, has_eos, self.cache, self.kv_valid, self.next_embeds,
+             self.slot_len, self.alive, self.blocks_left, self.key) = \
+                self._decode(self.params, self.cache, self.kv_valid,
+                             self.next_embeds, self.slot_len, self.alive,
+                             self.blocks_left, self.key, np.int32(wl))
         for s in self.active:
             self._dispatched[s] = self._dispatched.get(s, 0) + wl
         self.stats.steps += 1

@@ -363,6 +363,9 @@ def _fused_kv_attn_enabled(S: int, capacity: int = 0) -> bool:
     # 9,371 tok/s at the b256 headline point). See RESULTS.md.
     if os.environ.get("BT_FUSED_KV_ATTN", "0") != "1":
         return False
+    from block_transformer_tpu.ops import linear
+    if linear._NO_PALLAS.get():          # mesh serving: no GSPMD pallas rule
+        return False
     if S > 8 or capacity < 256:
         return False
     try:

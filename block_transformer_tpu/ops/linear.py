@@ -43,6 +43,8 @@ Env switches (measured defaults; see RESULTS.md kernel-dispatch table):
 
 from __future__ import annotations
 
+import contextlib
+import contextvars
 import os
 from typing import NamedTuple
 
@@ -50,6 +52,24 @@ import jax
 import jax.numpy as jnp
 
 from block_transformer_tpu.ops import quant
+
+# Trace-time switch: ``pallas_call`` has no GSPMD partitioning rule, so
+# programs that will run under a sharded jit (mesh serving) must dispatch
+# every quantized matmul to the XLA dequant+dot, which GSPMD partitions
+# like any dot. Per-shard Pallas under shard_map is the round-3 lead.
+_NO_PALLAS = contextvars.ContextVar("bt_no_pallas", default=False)
+
+
+@contextlib.contextmanager
+def pallas_disabled():
+    """Dispatch all quantized matmuls to XLA inside this context (checked
+    at trace time — wrap the *calls* into jitted programs, e.g. a mesh
+    engine's prefill/decode dispatches)."""
+    tok = _NO_PALLAS.set(True)
+    try:
+        yield
+    finally:
+        _NO_PALLAS.reset(tok)
 
 
 class StackedLinear(NamedTuple):
@@ -84,7 +104,7 @@ _DEFAULTS = {"INT8": "0", "INT8_SINGLE": "0", "INT4": "1"}
 
 def _use_pallas(kind: str, m: int, k: int = 0, n: int = 0,
                 stacked: bool = True) -> bool:
-    if not _on_tpu():
+    if _NO_PALLAS.get() or not _on_tpu():
         return False
     env_kind = "INT8_SINGLE" if kind == "INT8" and not stacked else kind
     if os.environ.get(f"BT_PALLAS_{env_kind}",

@@ -304,6 +304,34 @@ def test_engine_sharded_quantized():
     assert got == want, (got, want)
 
 
+def test_engine_sharded_int4_weights():
+    """INT4 (and mixed48-style) weight trees must serve on a mesh: the
+    engine trace-gates every quantized matmul to the XLA dequant+dot
+    (pallas_call has no GSPMD partitioning rule), and generations must
+    match the single-device int4 engine token-for-token."""
+    from block_transformer_tpu.parallel import sharding as sh
+    from block_transformer_tpu.ops import quant
+
+    cfg, params = _setup(seed=21)
+    qparams = quant.quantize_block_transformer(params, bits=4,
+                                               skip_lm_head=True)
+    rng = np.random.default_rng(21)
+    prompts = [rng.integers(1, VOCAB, size=n) for n in (8, 10)]
+
+    def run_engine(**kw):
+        eng = ContinuousBatchingEngine(qparams, cfg, n_slots=2, max_blocks=12,
+                                       kv_cache="int8", **kw)
+        for p in prompts:
+            eng.submit(p, 4)
+        reqs = list(eng.waiting)
+        eng.run(max_steps=60)
+        return [r.generated for r in reqs]
+
+    want = run_engine()
+    got = run_engine(mesh=sh.make_mesh(n_data=2, n_model=4))
+    assert got == want, (got, want)
+
+
 def test_engine_paged_first_fit_admission():
     """A large request that can't get pages must not convoy smaller ones:
     first-fit admits the small request now, the large one when pages free."""
