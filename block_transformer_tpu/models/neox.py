@@ -364,7 +364,7 @@ def _fused_kv_attn_enabled(S: int, capacity: int = 0) -> bool:
     if os.environ.get("BT_FUSED_KV_ATTN", "0") != "1":
         return False
     from block_transformer_tpu.ops import linear
-    if linear._NO_PALLAS.get():          # mesh serving: no GSPMD pallas rule
+    if not linear.pallas_allowed():      # sharded program: no GSPMD rule
         return False
     if S > 8 or capacity < 256:
         return False

@@ -119,7 +119,7 @@ def attention(q, k, v, mask: masks_lib.AttnMask, impl: str = "xla"):
     if impl == "pallas":
         from block_transformer_tpu.ops import flash_attention
         from block_transformer_tpu.ops import linear
-        if not linear._NO_PALLAS.get() and flash_attention.supported(q, k):
+        if linear.pallas_allowed() and flash_attention.supported(q, k):
             return flash_attention.flash_attention(q, k, v, mask)
         impl = "xla"
     if impl == "xla":

@@ -72,6 +72,22 @@ def pallas_disabled():
         _NO_PALLAS.reset(tok)
 
 
+def pallas_allowed() -> bool:
+    """False when tracing for a sharded program: inside ``pallas_disabled``
+    (the mesh engine's dispatches) or under an active ``set_mesh`` scope
+    (static sharded generate/train) — GSPMD cannot partition a
+    pallas_call, so those programs must take the XLA paths."""
+    if _NO_PALLAS.get():
+        return False
+    try:
+        mesh = jax.sharding.get_abstract_mesh()
+        if mesh is not None and mesh.axis_names:
+            return False
+    except Exception:
+        pass
+    return True
+
+
 class StackedLinear(NamedTuple):
     """View of one layer inside a stacked ``[L, ...]`` linear param node."""
     node: dict
@@ -104,7 +120,7 @@ _DEFAULTS = {"INT8": "0", "INT8_SINGLE": "0", "INT4": "1"}
 
 def _use_pallas(kind: str, m: int, k: int = 0, n: int = 0,
                 stacked: bool = True) -> bool:
-    if _NO_PALLAS.get() or not _on_tpu():
+    if not pallas_allowed() or not _on_tpu():
         return False
     env_kind = "INT8_SINGLE" if kind == "INT8" and not stacked else kind
     if os.environ.get(f"BT_PALLAS_{env_kind}",
