@@ -332,6 +332,38 @@ def test_engine_sharded_int4_weights():
     assert got == want, (got, want)
 
 
+def test_engine_adaptive_window_dispatch_counts():
+    """With an empty admission queue the host must cover a request's whole
+    remaining budget in ONE dispatch (the window length is a traced arg of
+    a single while_loop program); under queue pressure windows cap at
+    sync_blocks so admission latency stays bounded."""
+    cfg, params = _setup(seed=23)
+    rng = np.random.default_rng(23)
+
+    # no queue: 2 slots, 2 requests, 6-block budgets -> exactly 1 window
+    eng = ContinuousBatchingEngine(params, cfg, n_slots=2, max_blocks=16,
+                                   sync_blocks=2)
+    for _ in range(2):
+        eng.submit(rng.integers(1, VOCAB, size=8), 6 * L)
+    eng.run(max_steps=50)
+    assert not eng.has_work()
+    assert eng.stats.steps == 1, eng.stats
+
+    # queue pressure: 4 requests on 2 slots, 4-block budgets. Without EOS
+    # this is 3 windows (two sync_blocks=2 waves + one 4-block wave); early
+    # EOS staggers slot turnover and can add admission waves, but the count
+    # must stay well under the 8 block-rounds a fixed per-sync_blocks
+    # scheduler pays when waves stagger
+    eng = ContinuousBatchingEngine(params, cfg, n_slots=2, max_blocks=16,
+                                   sync_blocks=2)
+    for _ in range(4):
+        eng.submit(rng.integers(1, VOCAB, size=8), 4 * L)
+    eng.run(max_steps=50)
+    assert not eng.has_work()
+    assert eng.stats.steps <= 6, eng.stats
+    assert eng.stats.prompts_finished == 4
+
+
 def test_engine_paged_first_fit_admission():
     """A large request that can't get pages must not convoy smaller ones:
     first-fit admits the small request now, the large one when pages free."""
