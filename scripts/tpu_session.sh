@@ -31,6 +31,11 @@ mkdir -p results
   echo "--- validation: paged KV pool engine on TPU ---"
   timeout 3600 python bench.py --engine --engine_kv paged --decode 64 \
       --detail_out BENCH_DETAIL_paged.json 2>&1 | grep -v WARNING | tail -6
+  echo "--- backfill: vanilla_31 10k-step train (block already at ckpt-10000; "
+  echo "    the CPU attempt measured 88.9 s/step = infeasible, TPU is ~1 s/step;"
+  echo "    resumable, so a timeout still keeps partial progress) ---"
+  timeout 10800 python scripts/quality_run.py --out results/quality10k \
+      --steps 10000 --batch 64 --train_only 2>&1 | grep -v WARNING | tail -4
   echo "=== done $(date -u) ==="
 } >> "$LOG" 2>&1
 tail -12 "$LOG"
