@@ -312,7 +312,9 @@ def bench_engine(model_name: str, n_slots: int, prefill: int, decode: int,
     return produced / dt, {"engine_tokens": produced, "engine_time_s": dt,
                            "engine_admit_s": t_admit,
                            "n_slots": n_slots,
-                           "tokens_wasted": eng.stats.tokens_wasted}
+                           "dispatches": eng.stats.steps,
+                           "tokens_wasted": eng.stats.tokens_wasted,
+                           "latency": eng.latency_metrics()}
 
 
 def main():

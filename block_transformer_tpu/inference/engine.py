@@ -73,6 +73,13 @@ class Request:
     done: bool = False
     error: Optional[str] = None
     stream: Optional[Callable[[int, List[int]], None]] = None
+    # host-wall latency stamps (perf_counter): queue wait = admitted -
+    # submitted; TTFT = first_token - submitted; TPOT = (done -
+    # first_token) / max(1, tokens - 1)
+    submitted_at: float = 0.0
+    admitted_at: float = 0.0
+    first_token_at: float = 0.0
+    done_at: float = 0.0
 
 
 @dataclass
@@ -231,13 +238,43 @@ class ContinuousBatchingEngine:
     # ------------------------------------------------------------------
     def submit(self, prompt, max_new_tokens: int,
                stream: Optional[Callable] = None) -> int:
+        import time
         self._uid += 1
         self.waiting.append(Request(self._uid, np.asarray(prompt, np.int32),
-                                    max_new_tokens, stream=stream))
+                                    max_new_tokens, stream=stream,
+                                    submitted_at=time.perf_counter()))
         return self._uid
 
     def has_work(self) -> bool:
         return bool(self.waiting or self.active)
+
+    def latency_metrics(self) -> dict:
+        """Serving latency aggregates over completed requests (host wall
+        clock): queue wait (submit -> admit), TTFT (submit -> first token)
+        and TPOT (per-output-token time after the first). Block-synchronous
+        decode emits tokens a window at a time, so TTFT is quantized to
+        the window cadence — these are the honest user-visible numbers."""
+        done = [r for r in self.completed
+                if not r.error and r.generated and r.first_token_at]
+        if not done:
+            return {"completed": 0}
+
+        def pct(xs, q):
+            xs = sorted(xs)
+            return float(xs[min(len(xs) - 1, int(q * len(xs)))])
+
+        queue = [r.admitted_at - r.submitted_at for r in done]
+        ttft = [r.first_token_at - r.submitted_at for r in done]
+        tpot = [(r.done_at - r.first_token_at) / max(1, len(r.generated) - 1)
+                for r in done]
+        return {
+            "completed": len(done),
+            "queue_wait_s_mean": float(np.mean(queue)),
+            "ttft_s_mean": float(np.mean(ttft)),
+            "ttft_s_p50": pct(ttft, 0.50), "ttft_s_p95": pct(ttft, 0.95),
+            "tpot_s_mean": float(np.mean(tpot)),
+            "tpot_s_p95": pct(tpot, 0.95),
+        }
 
     # ------------------------------------------------------------------
     def _make_prefill(self):
@@ -481,9 +518,12 @@ class ContinuousBatchingEngine:
             self.blocks_left = self.blocks_left.at[sl].set(jnp.asarray(
                 [-(-r.max_new_tokens // L) for _, r, _, _ in batch],
                 np.int32))
+            import time
+            now = time.perf_counter()
             for slot, req, _, _ in batch:
                 self.active[slot] = req
                 self._dispatched[slot] = 0
+                req.admitted_at = now
                 self.stats.prompts_admitted += 1
 
     def _target_window(self) -> int:
@@ -540,9 +580,11 @@ class ContinuousBatchingEngine:
         Only the first ``wl`` blocks were (possibly) executed — rows past
         that keep their pad init and must not be read as output.
         ``np.asarray`` here is the one device->host sync per window."""
+        import time
         tokens_d, eos_d, snapshot, wl = window
         tokens = np.asarray(tokens_d)
         has_eos = np.asarray(eos_d)
+        now = time.perf_counter()
         finished = []
         for s, req in snapshot.items():
             if req.done:
@@ -559,6 +601,8 @@ class ContinuousBatchingEngine:
                         break
                     emit.append(t)
                 req.generated.extend(emit)
+                if emit and not req.first_token_at:
+                    req.first_token_at = now
                 self.stats.tokens_generated += len(emit)
                 self.stats.tokens_wasted += len(block) - len(emit)
                 if req.stream:
@@ -566,6 +610,7 @@ class ContinuousBatchingEngine:
                 eos = bool(has_eos[s, i])
             if eos or len(req.generated) >= req.max_new_tokens:
                 req.done = True
+                req.done_at = now
                 finished.append(s)
         for s in finished:
             req = snapshot[s]

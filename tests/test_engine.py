@@ -364,6 +364,25 @@ def test_engine_adaptive_window_dispatch_counts():
     assert eng.stats.prompts_finished == 4
 
 
+def test_engine_latency_metrics():
+    """Completed requests carry monotone latency stamps and the aggregate
+    metrics are well-formed (queue wait <= TTFT, positive TPOT)."""
+    cfg, params = _setup(seed=25)
+    rng = np.random.default_rng(25)
+    eng = ContinuousBatchingEngine(params, cfg, n_slots=2, max_blocks=12)
+    for n in (8, 10, 6):
+        eng.submit(rng.integers(1, VOCAB, size=n), 8)
+    done = eng.run(max_steps=60)
+    assert not eng.has_work()
+    for r in done:
+        assert r.submitted_at <= r.admitted_at <= r.first_token_at \
+            <= r.done_at, r
+    m = eng.latency_metrics()
+    assert m["completed"] == 3
+    assert 0 <= m["queue_wait_s_mean"] <= m["ttft_s_mean"]
+    assert m["tpot_s_mean"] >= 0 and m["ttft_s_p95"] >= m["ttft_s_p50"]
+
+
 def test_engine_paged_first_fit_admission():
     """A large request that can't get pages must not convoy smaller ones:
     first-fit admits the small request now, the large one when pages free."""
