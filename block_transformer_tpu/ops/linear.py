@@ -73,16 +73,21 @@ def pallas_disabled():
 
 
 def pallas_allowed() -> bool:
-    """False when tracing for a sharded program: inside ``pallas_disabled``
-    (the mesh engine's dispatches) or under an active ``set_mesh`` scope
-    (static sharded generate/train) — GSPMD cannot partition a
-    pallas_call, so those programs must take the XLA paths."""
+    """False when tracing for a GSPMD-sharded program: inside
+    ``pallas_disabled`` (the mesh engine's dispatches) or under an active
+    ``set_mesh`` scope with Auto/Explicit axes (static sharded
+    generate/train) — GSPMD cannot partition a pallas_call, so those
+    programs must take the XLA paths. Inside a ``shard_map`` body every
+    mesh axis is Manual and the kernel runs per shard on local shapes —
+    Pallas stays on there (parallel/tp_decode.py relies on this)."""
     if _NO_PALLAS.get():
         return False
     try:
         mesh = jax.sharding.get_abstract_mesh()
         if mesh is not None and mesh.axis_names:
-            return False
+            from jax.sharding import AxisType
+            if any(t != AxisType.Manual for t in mesh.axis_types):
+                return False
     except Exception:
         pass
     return True
@@ -220,7 +225,8 @@ def _apply_stacked(x, node, layer, use_pallas):
         ok = use_pallas if use_pallas is not None else (
             _use_pallas("INT4", x2.shape[0], 2 * Kh, N)
             and Kh % 128 == 0 and N % 128 == 0
-            and (G == 1 or (2 * Kh // G) % 128 == 0))
+            and (G == 1 or ((2 * Kh // G) % 128 == 0
+                            and Kh % (2 * Kh // G) == 0)))
         if ok:
             from block_transformer_tpu.ops import dequant_matmul
             out = dequant_matmul.int4_matmul_stacked(
@@ -263,7 +269,8 @@ def _int4_matmul(x, w_p, scale, use_pallas):
         use_pallas = (_use_pallas("INT4", x2.shape[0], 2 * Kh, N,
                                   stacked=False)
                       and Kh % 128 == 0 and N % 128 == 0
-                      and (G == 1 or (2 * Kh // G) % 128 == 0))
+                      and (G == 1 or ((2 * Kh // G) % 128 == 0
+                                      and Kh % (2 * Kh // G) == 0)))
     if use_pallas:
         from block_transformer_tpu.ops import dequant_matmul
         out = dequant_matmul.int4_matmul(x2, w_p, scale)

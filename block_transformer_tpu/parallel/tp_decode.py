@@ -85,8 +85,15 @@ def tp_param_specs(params: dict):
 
     Embedder, layer norms, biases of row-parallel matmuls, and the
     expansion layer are replicated; everything matmul-heavy shards as in
-    _neox_tp_spec. (INT4 packed kernels shard like their fp kernels: the
-    packed axis is K/2, still the row axis.)
+    _neox_tp_spec. INT4 packed kernels shard like their fp kernels (the
+    packed axis is K/2, still the row axis) — but **row-parallel packed
+    kernels are only shard-valid after ``prepare_tp_params(..., tp=...)``
+    repacks them** (split-half planes must nest inside each shard).
+
+    INT4 *group* scales are rank-3 ``[L, G, N]`` (rank-2 ``[G, V]`` for
+    the unstacked LM head) and shard by role: column-parallel on N,
+    row-parallel on G (each shard owns its K-rows' groups; G == 1
+    replicates — scaling partial sums commutes with the psum).
     """
 
     def spec(path, leaf):
@@ -96,6 +103,16 @@ def tp_param_specs(params: dict):
         if names[0] == "embedder":
             return P()
         tail = "/".join(names[1:])
+        ndim = getattr(leaf, "ndim", None)
+        if tail.endswith("/scale") and ndim == 3:      # int4 [L, G, N]
+            role = tail.rsplit("/", 2)[-2]
+            if role in ("out", "down"):                # row-parallel
+                return (P(None, "model", None) if leaf.shape[1] > 1
+                        else P())
+            if role in ("qkv", "up"):                  # column-parallel
+                return P(None, None, "model")
+        if tail == "embed_out/scale" and ndim == 2:    # int4 [G, V]
+            return P(None, "model")
         s = _neox_tp_spec(tail)
         if s is not None:
             return s
@@ -127,11 +144,40 @@ def _qkv_head_major_perm(hidden: int, num_heads: int) -> jnp.ndarray:
     return jnp.asarray(perm)
 
 
-def prepare_tp_params(params: dict, cfg: BlockTransformerConfig) -> dict:
+def _repack_q4_rows_for_tp(w_p: jax.Array, tp: int) -> jax.Array:
+    """Re-lay a split-half packed int4 kernel so each of ``tp`` contiguous
+    row shards is itself a valid split-half packing of its own K rows.
+
+    Global packing stores unpacked row r in packed row ``r`` (low nibble,
+    r < K/2) or ``r - K/2`` (high nibble) — sharding those packed rows
+    hands shard j nibbles of rows ``[j*K/2t, (j+1)*K/2t) U [K/2 + ...)``,
+    while the row-parallel matmul gives it activation columns
+    ``[j*K/t, (j+1)*K/t)``. Unpack once (host-side, at preparation) and
+    repack per shard block so packed row ``j*K/2t + p`` holds the shard's
+    local rows ``p`` (lo) and ``p + K/2t`` (hi)."""
+    from block_transformer_tpu.ops import quant
+    L, Kh, N = w_p.shape
+    K = 2 * Kh
+    assert K % (2 * tp) == 0, (K, tp)
+    vals = jax.vmap(quant.unpack_int4)(w_p)            # [L, K, N] in [-7, 7]
+    v = vals.reshape(L, tp, K // tp, N)
+    halfl = K // (2 * tp)
+    lo = v[:, :, :halfl].astype(jnp.uint8) & 0xF
+    hi = (v[:, :, halfl:].astype(jnp.uint8) & 0xF) << 4
+    return (lo | hi).astype(jnp.int8).reshape(L, Kh, N)
+
+
+def prepare_tp_params(params: dict, cfg: BlockTransformerConfig,
+                      tp: int = None) -> dict:
     """Permute every stack's QKV node to head-major column order (kernel /
     quantized kernel / bias / scale) so tp_param_specs' contiguous column
-    shards carry whole heads. Pure host-side transform; apply once before
-    sharding with tp_param_specs."""
+    shards carry whole heads, and repack row-parallel INT4 kernels
+    (attn-out / MLP-down) for ``tp`` shards (split-half planes must nest
+    inside each shard — see _repack_q4_rows_for_tp). Pure host-side
+    transform; apply once before sharding with tp_param_specs.
+
+    ``tp`` (the model-axis size) is required when the tree carries
+    ``kernel_q4`` leaves; fp/int8 trees don't need it."""
     out = dict(params)
     for name, ncfg in (("block_decoder", cfg.block_decoder),
                        ("token_decoder", cfg.token_decoder.neox)):
@@ -145,6 +191,20 @@ def prepare_tp_params(params: dict, cfg: BlockTransformerConfig) -> dict:
         for k in list(qkv):
             qkv[k] = jnp.take(qkv[k], perm, axis=-1)
         attn["qkv"] = qkv
+        for parent, role in ((attn, "out"), (dict(layers["mlp"]), "down")):
+            node = dict(parent[role])
+            if "kernel_q4" in node:
+                assert tp, ("prepare_tp_params needs tp=mesh.shape['model'] "
+                            "to repack row-parallel int4 kernels")
+                G = node["scale"].shape[1] if node["scale"].ndim == 3 else 1
+                assert G == 1 or G % tp == 0, \
+                    (f"{name}/{role}: int4 group count {G} must be a "
+                     f"multiple of tp={tp} (groups shard with their rows)")
+                node["kernel_q4"] = _repack_q4_rows_for_tp(
+                    node["kernel_q4"], tp)
+                parent[role] = node
+            if role == "down":
+                layers["mlp"] = parent
         layers["attn"] = attn
         stack["layers"] = layers
         out[name] = stack

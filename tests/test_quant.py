@@ -258,3 +258,29 @@ def test_vanilla_decode_quantized_kv():
     agree8 = (outs["bf16"] == outs["int8"]).mean()
     assert agree8 >= 0.6, agree8
     assert (outs["int4"] >= 0).all() and (outs["int4"] < 128).all()
+
+
+def test_pallas_allowed_contexts():
+    """Pallas dispatch gating: on by default, off inside pallas_disabled()
+    and under a GSPMD mesh scope (no partitioning rule for pallas_call),
+    back ON inside a shard_map body (Manual axes = per-shard lowering)."""
+    from jax.sharding import PartitionSpec as P
+
+    assert linear.pallas_allowed()
+    with linear.pallas_disabled():
+        assert not linear.pallas_allowed()
+    assert linear.pallas_allowed()
+
+    mesh = jax.make_mesh((2, 4), ("data", "model"))
+    with jax.sharding.set_mesh(mesh):
+        assert not linear.pallas_allowed()
+
+    seen = []
+
+    def body(x):
+        seen.append(linear.pallas_allowed())
+        return x
+
+    jax.jit(jax.shard_map(body, mesh=mesh, in_specs=P("data"),
+                          out_specs=P("data")))(jnp.ones((8, 4)))
+    assert seen and seen[0] is True

@@ -26,7 +26,8 @@ def _setup():
 
 
 def _run_tp(mesh, cfg, params, ids, att, bam, kv_cache):
-    tp_params = tp_decode.prepare_tp_params(params, cfg)
+    tp_params = tp_decode.prepare_tp_params(params, cfg,
+                                            tp=int(mesh.shape["model"]))
     fn = tp_decode.make_tp_generate_blocks(mesh, cfg, tp_params,
                                            max_blocks=8, kv_cache=kv_cache)
     sp = jax.tree.map(lambda s: NamedSharding(mesh, s),
@@ -47,6 +48,26 @@ def test_tp_decode_exact_bf16_and_int8():
         ref = gen.generate_blocks(params, cfg, ids, att, bam, max_blocks=8,
                                   greedy=True, kv_cache=kv)
         toks, nb = _run_tp(mesh, cfg, params, ids, att, bam, kv)
+        assert nb == int(ref.n_blocks)
+        np.testing.assert_array_equal(toks, np.asarray(ref.tokens))
+
+
+def test_tp_decode_exact_int4_weights():
+    """INT4 weight trees through the shard_map TP decode: row-parallel
+    packed kernels are repacked per shard (split-half planes must nest
+    inside each shard's K rows) and group scales shard with their rows —
+    token-exact vs the single-device int4 path, for group-wise and
+    per-channel scales."""
+    from block_transformer_tpu.ops import quant
+
+    cfg, params, ids, att, bam = _setup()
+    mesh = sh.make_mesh(n_data=2, n_model=4)
+    for gs in (16, None):     # group-wise (G=K/16) and per-channel (G=1)
+        qp = quant.quantize_block_transformer(
+            params, bits=4, group_size=gs or 10**9, skip_lm_head=True)
+        ref = gen.generate_blocks(qp, cfg, ids, att, bam, max_blocks=8,
+                                  greedy=True)
+        toks, nb = _run_tp(mesh, cfg, qp, ids, att, bam, "bf16")
         assert nb == int(ref.n_blocks)
         np.testing.assert_array_equal(toks, np.asarray(ref.tokens))
 
