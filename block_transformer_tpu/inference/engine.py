@@ -110,7 +110,7 @@ class ContinuousBatchingEngine:
                  kv_cache: str = "bf16", bucket_blocks: int = 64,
                  sync_blocks: int = 4, max_window: int = 64, seed: int = 0,
                  page_size: int = 256, pool_pages: Optional[int] = None,
-                 mesh=None):
+                 mesh=None, mesh_impl: str = "gspmd"):
         self.params = params
         self.cfg = cfg
         self.n_slots = n_slots
@@ -189,18 +189,33 @@ class ContinuousBatchingEngine:
         self.stats = EngineStats()
         self._uid = 0
 
-        # Under a mesh every quantized matmul must dispatch to XLA at
-        # trace time: pallas_call has no GSPMD partitioning rule (int4
-        # weights previously could not serve on meshes at all; the XLA
-        # dequant+dot partitions like any dot). Per-shard Pallas via
-        # shard_map is the round-3 lead.
-        self._trace_ctx = (ops_linear.pallas_disabled if mesh is not None
+        # Mesh serving comes in two implementations:
+        # - "gspmd": annotate shardings and jit; every quantized matmul
+        #   must dispatch to XLA at trace time (pallas_call has no GSPMD
+        #   partitioning rule — the XLA dequant+dot partitions like any
+        #   dot).
+        # - "shard_map": the two device programs are explicit-collective
+        #   shard_map bodies (parallel/tp_decode.py) — every mesh axis is
+        #   Manual, so the fused Pallas kernels (INT4 dequant matmul,
+        #   fused INT8-KV attention) run per shard at their single-device
+        #   numerics.
+        self.mesh_impl = mesh_impl if mesh is not None else "single"
+        self._trace_ctx = (ops_linear.pallas_disabled
+                           if self.mesh_impl == "gspmd" and mesh is not None
                            else _null_ctx)
         if mesh is not None:
             self._shard_over(mesh)
 
-        self._prefill = self._make_prefill()   # retraces once per bucket
-        self._decode = self._make_decode()
+        if self.mesh_impl == "shard_map":
+            from block_transformer_tpu.parallel import tp_decode
+            self._prefill, self._decode = tp_decode.make_tp_engine_programs(
+                mesh, cfg, self.params, self.cache, n_slots=n_slots,
+                capacity=self.cap, max_window=self.max_window,
+                kv_cache=self.kv_kind, greedy=greedy,
+                temperature=temperature, top_k=top_k, top_p=top_p)
+        else:
+            self._prefill = self._make_prefill()  # retraces once per bucket
+            self._decode = self._make_decode()
 
     def _shard_over(self, mesh):
         """Serve over a (data, model) mesh: slots shard over the data axes,
@@ -222,8 +237,21 @@ class ContinuousBatchingEngine:
         self.mesh = mesh
         d = sh.data_axes(mesh)
         put = lambda x, spec: jax.device_put(x, NamedSharding(mesh, spec))
-        self.params = jax.tree.map(
-            jax.device_put, self.params, sh.param_shardings(mesh, self.params))
+        if self.mesh_impl == "shard_map":
+            # explicit-collective programs: head-major QKV layout (+ int4
+            # per-shard repacking) and the manual-mode TP specs
+            from block_transformer_tpu.parallel import tp_decode
+            assert self.kv_kind in ("bf16", "int8"), self.kv_kind
+            self.params = tp_decode.prepare_tp_params(
+                self.params, self.cfg, tp=int(mesh.shape["model"]))
+            shardings = jax.tree.map(lambda s: NamedSharding(mesh, s),
+                                     tp_decode.tp_param_specs(self.params),
+                                     is_leaf=lambda x: isinstance(x, P))
+            self.params = jax.tree.map(jax.device_put, self.params, shardings)
+        else:
+            self.params = jax.tree.map(
+                jax.device_put, self.params,
+                sh.param_shardings(mesh, self.params))
         self.cache = jax.tree.map(
             lambda x: put(x, sh.kv_cache_pspec()) if x.ndim == 5 else
             (put(x, P(None, d, "model", None)) if x.ndim == 4    # scales

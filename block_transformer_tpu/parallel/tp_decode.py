@@ -353,9 +353,14 @@ class _Carry(NamedTuple):
 
 
 def _tp_decode_block_tokens(params, cfg: BlockTransformerConfig, tp,
-                            block_embeddings, greedy, temperature, key):
+                            block_embeddings, greedy, temperature, key,
+                            top_k: int = 0, top_p: float = 1.0):
     """Inner loop on shards: local token-decoder cache, all-gathered logits."""
-    from block_transformer_tpu.inference.generate import _sample
+    from block_transformer_tpu.inference.generate import _sample as _samp
+
+    def _sample(logits, greedy, temperature, key):
+        return _samp(logits, greedy, temperature, key, top_k=top_k,
+                     top_p=top_p)
     tcfg = cfg.token_decoder
     L = cfg.block_length
     n_exp = cfg.n_expanded_emb
@@ -497,3 +502,198 @@ def make_tp_generate_blocks(mesh, cfg: BlockTransformerConfig, params_tree,
         check_vma=False,
     )
     return jax.jit(fn)
+
+
+# ---------------------------------------------------------------------------
+# Serving-engine device programs under shard_map
+# ---------------------------------------------------------------------------
+
+def engine_state_specs(cache, data_axes=("data",)) -> tuple:
+    """(cache_specs, kv_valid, next_embeds, per_slot) PartitionSpecs for the
+    engine's persistent state: slots shard over the data axes, K/V heads
+    over ``model`` — the same physical layout the GSPMD engine uses, so
+    the two mesh implementations are drop-in interchangeable."""
+    dd = tuple(data_axes)
+
+    def cache_spec(x):
+        if x.ndim == 5:                     # k/v [L, B, H, cap, D]
+            return P(None, dd, "model", None, None)
+        if x.ndim == 4:                     # scales [L, B, H, cap]
+            return P(None, dd, "model", None)
+        return P()                          # length scalar
+    cache_specs = jax.tree.map(cache_spec, cache)
+    return cache_specs, P(dd), P(dd), P(dd)
+
+
+def _scatter_valid(kv_valid, write_pos, valid_new, n):
+    B, cap = kv_valid.shape
+    cols = jnp.arange(cap, dtype=jnp.int32)[None]
+    in_range = (cols >= write_pos[:, None]) & (cols < write_pos[:, None] + n)
+    return jnp.where(in_range, valid_new[:, None], kv_valid)
+
+
+def make_tp_engine_programs(mesh, cfg: BlockTransformerConfig, params_tree,
+                            cache_tmpl, *, n_slots: int, capacity: int,
+                            max_window: int, kv_cache: str = "int8",
+                            greedy: bool = True, temperature: float = 1.0,
+                            top_k: int = 0, top_p: float = 1.0):
+    """The serving engine's two device programs (admission prefill +
+    adaptive decode window) as ``shard_map`` bodies with explicit
+    collectives. Same signatures and numerics as the engine's GSPMD
+    programs, but every mesh axis is Manual, so the fused Pallas kernels
+    (INT4 dequant matmul, INT8-KV decode attention) run per shard — the
+    GSPMD path must gate them off (no pallas_call partitioning rule).
+
+    Params must be ``prepare_tp_params(params, cfg, tp)``-prepared and
+    sharded per ``tp_param_specs``. Slots shard over the data axes;
+    admission prefill compute is dp-replicated (each data shard runs the
+    same G prompt rows, tp-split by heads) and each shard keeps only its
+    slots — prefill is the amortized minority cost, decode is where the
+    explicit-collective + per-shard-Pallas win lives.
+    """
+    tp = int(mesh.shape["model"])
+    data_axes = tuple(a for a in mesh.axis_names if a != "model")
+    dp = int(np.prod([mesh.shape[a] for a in data_axes]))
+    assert n_slots % dp == 0, (n_slots, dp)
+    n = cfg.n_embedding_tokens
+    ph = cfg.embedder.projection_hidden_size
+    L = cfg.block_length
+    cap = capacity
+    I = max_window
+    lblk = _local_cfg(cfg.block_decoder, tp)
+    pspecs = tp_param_specs(params_tree)
+    cache_specs, valid_p, emb_p, slot_p = engine_state_specs(cache_tmpl,
+                                                             data_axes)
+    data_p = P(data_axes)
+
+    def _shard_offset():
+        off = jnp.int32(0)
+        for ax in data_axes:
+            off = off * mesh.shape[ax] + jax.lax.axis_index(ax)
+        return off * (n_slots // dp)
+
+    # -- admission prefill ---------------------------------------------
+    def prefill_body(params, cache, kv_valid, next_embeds, slots, true_len,
+                     ids, att, bam):
+        G = ids.shape[0]
+        Bl = n_slots // dp
+        be = emb.embed_blocks(params["embedder"], cfg.embedder, L, ids,
+                              attention_mask=att)
+        x = be.reshape(G, -1, be.shape[-1])
+        S = x.shape[1]
+        valid = jnp.zeros((G, cap), jnp.int32)
+        valid = jax.lax.dynamic_update_slice(
+            valid, jnp.repeat(bam.astype(jnp.int32), n, axis=1), (0, 0))
+        mask = masks.block_decode_mask(jnp.int32(0), cap, S, valid, n)
+        positions = jnp.arange(S, dtype=jnp.int32)
+        row_cache = neox.make_kv_cache(lblk, G, cap, kv_cache, dtype=x.dtype)
+        hidden, row_cache = _tp_stack(params["block_decoder"], x,
+                                      cfg=cfg.block_decoder, tp=tp, mask=mask,
+                                      positions=positions, cache=row_cache,
+                                      write_pos=row_cache.length)
+        # each shard keeps its own slots: gather formulation (race-free —
+        # a scatter with clipped out-of-shard indices could collide with a
+        # real in-shard write)
+        ls = slots - _shard_offset()                       # [G] local or out
+        onehot = ls[:, None] == jnp.arange(Bl)[None]       # [G, Bl]
+        sel = onehot.any(axis=0)                           # [Bl]
+        src = jnp.argmax(onehot, axis=0)                   # [Bl] row per slot
+
+        def keep(pool, rows, batch_dim):
+            take = jnp.take(rows, src, axis=batch_dim)
+            shape = [1] * pool.ndim
+            shape[batch_dim] = sel.shape[0]
+            return jnp.where(sel.reshape(shape), take, pool)
+
+        updates = {f: keep(getattr(cache, f), getattr(row_cache, f), 1)
+                   for f in cache._fields if f != "length"}
+        new_cache = cache._replace(**updates)
+        valid = jnp.where(jnp.arange(cap)[None] < true_len[:, None] * n,
+                          valid, 0)
+        kv_valid = keep(kv_valid, valid, 0)
+        idx = (true_len[:, None] - 1) * n + jnp.arange(n)[None]
+        last = jnp.take_along_axis(hidden, idx[:, :, None], axis=1)
+        next_embeds = keep(next_embeds, last.astype(next_embeds.dtype), 0)
+        return new_cache, kv_valid, next_embeds
+
+    prefill = jax.jit(jax.shard_map(
+        prefill_body, mesh=mesh,
+        in_specs=(pspecs, cache_specs, valid_p, emb_p, P(), P(), P(), P(),
+                  P()),
+        out_specs=(cache_specs, valid_p, emb_p),
+        check_vma=False), donate_argnums=(1, 2, 3))
+
+    # -- adaptive decode window ----------------------------------------
+    def window_body(params, cache, kv_valid, next_embeds, slot_len, alive,
+                    blocks_left, key, window_len):
+        Bl = next_embeds.shape[0]
+        for ax in data_axes:                 # decorrelate sampled streams
+            key = jax.random.fold_in(key, jax.lax.axis_index(ax))
+        tokens_buf = jnp.full((I, Bl, L), cfg.pad_token_id, jnp.int32)
+        eos_buf = jnp.zeros((I, Bl), bool)
+
+        def any_live(alive, blocks_left):
+            flag = jnp.any(alive & (blocks_left > 0)).astype(jnp.int32)
+            for ax in data_axes:             # uniform trip count: the body
+                flag = jax.lax.psum(flag, ax)  # runs collectives every step
+            return flag
+
+        def one_block(carry):
+            (cache, kv_valid, next_embeds, slot_len, alive, blocks_left,
+             key, _) = carry
+            live = alive & (blocks_left > 0)
+            key, kb = jax.random.split(key)
+            tokens, inner_alive = _tp_decode_block_tokens(
+                params, cfg, tp, next_embeds, greedy, temperature, kb,
+                top_k, top_p)
+            tokens = jnp.where(live[:, None], tokens, cfg.pad_token_id)
+            has_eos = live & ~inner_alive
+            new_be = emb.embed_blocks(params["embedder"], cfg.embedder, L,
+                                      tokens)
+            new_be = jnp.where(live[:, None, None], new_be, 0.0)
+            q_idx = jnp.broadcast_to(slot_len[:, None], (Bl, n))
+            kv_idx = jnp.arange(cap, dtype=jnp.int32) // n
+            write_pos = slot_len * n
+            valid_new = live.astype(jnp.int32)
+            kv_valid2 = _scatter_valid(kv_valid, write_pos, valid_new, n)
+            mask = masks.AttnMask(q_idx, kv_idx, kv_valid2)
+            positions = (write_pos[:, None]
+                         + jnp.arange(n, dtype=jnp.int32)[None])
+            hidden, cache2 = _tp_stack(
+                params["block_decoder"], new_be.astype(next_embeds.dtype),
+                cfg=cfg.block_decoder, tp=tp, mask=mask, positions=positions,
+                cache=cache, write_pos=write_pos)
+            next2 = hidden[:, -n:, :].astype(next_embeds.dtype)
+            next2 = jnp.where(live[:, None, None], next2, next_embeds)
+            alive2 = alive & inner_alive
+            bl2 = blocks_left - valid_new
+            return (cache2, kv_valid2, next2, slot_len + valid_new, alive2,
+                    bl2, key, any_live(alive2, bl2)), (tokens, has_eos)
+
+        def cond(state):
+            i, _, _, c = state
+            return (i < window_len) & (c[-1] > 0)
+
+        def body(state):
+            i, tok, eos, c = state
+            c, (t, he) = one_block(c)
+            return i + 1, tok.at[i].set(t), eos.at[i].set(he), c
+
+        carry = (cache, kv_valid, next_embeds, slot_len, alive, blocks_left,
+                 key, any_live(alive, blocks_left))
+        _, tokens, has_eos, carry = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), tokens_buf, eos_buf, carry))
+        (cache, kv_valid, next_embeds, slot_len, alive, blocks_left, key,
+         _) = carry
+        return (tokens.transpose(1, 0, 2), has_eos.T, cache, kv_valid,
+                next_embeds, slot_len, alive, blocks_left, key)
+
+    decode = jax.jit(jax.shard_map(
+        window_body, mesh=mesh,
+        in_specs=(pspecs, cache_specs, valid_p, emb_p, slot_p, slot_p,
+                  slot_p, P(), P()),
+        out_specs=(data_p, data_p, cache_specs, valid_p, emb_p, slot_p,
+                   slot_p, slot_p, P()),
+        check_vma=False), donate_argnums=(1, 2, 3, 4, 5, 6, 7))
+
+    return prefill, decode

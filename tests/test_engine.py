@@ -332,6 +332,53 @@ def test_engine_sharded_int4_weights():
     assert got == want, (got, want)
 
 
+def test_engine_shard_map_matches_single():
+    """mesh_impl='shard_map' (explicit-collective device programs,
+    per-shard Pallas legal) must generate token-for-token what the
+    single-device engine generates — fp weights and int4 weights (the
+    kernels the GSPMD mesh path must gate off)."""
+    from block_transformer_tpu.parallel import sharding as sh
+    from block_transformer_tpu.ops import quant
+
+    cfg, params = _setup(seed=27)
+    rng = np.random.default_rng(27)
+    prompts = [rng.integers(1, VOCAB, size=n) for n in (8, 12, 6, 10)]
+
+    for qp in (params,
+               quant.quantize_block_transformer(params, bits=4,
+                                                group_size=16,
+                                                skip_lm_head=True)):
+        def run_engine(**kw):
+            eng = ContinuousBatchingEngine(qp, cfg, n_slots=4, max_blocks=12,
+                                           kv_cache="int8", **kw)
+            for p in prompts:
+                eng.submit(p, 6)
+            reqs = list(eng.waiting)
+            eng.run(max_steps=100)
+            assert not eng.has_work()
+            return [r.generated for r in reqs]
+
+        want = run_engine()
+        got = run_engine(mesh=sh.make_mesh(n_data=2, n_model=4),
+                         mesh_impl="shard_map")
+        assert got == want, (got, want)
+
+
+def test_engine_shard_map_state_stays_sharded():
+    from block_transformer_tpu.parallel import sharding as sh
+
+    cfg, params = _setup(seed=27)
+    rng = np.random.default_rng(27)
+    eng = ContinuousBatchingEngine(
+        params, cfg, n_slots=4, max_blocks=12, kv_cache="int8",
+        mesh=sh.make_mesh(n_data=2, n_model=4), mesh_impl="shard_map")
+    for n in (8, 12):
+        eng.submit(rng.integers(1, VOCAB, size=n), 6)
+    eng.run(max_steps=50)
+    spec = eng.cache.k.sharding.spec
+    assert "data" in str(spec) and "model" in str(spec), spec
+
+
 def test_engine_adaptive_window_dispatch_counts():
     """With an empty admission queue the host must cover a request's whole
     remaining budget in ONE dispatch (the window length is a traced arg of
