@@ -347,7 +347,11 @@ def test_engine_shard_map_matches_single():
     for qp in (params,
                quant.quantize_block_transformer(params, bits=4,
                                                 group_size=16,
-                                                skip_lm_head=True)):
+                                                skip_lm_head=True),
+               # mixed48: int8 block decoder + int4 token decoder + int8 head
+               quant.quantize_block_transformer(params, bits=8,
+                                                group_size=16,
+                                                token_decoder_bits=4)):
         def run_engine(**kw):
             eng = ContinuousBatchingEngine(qp, cfg, n_slots=4, max_blocks=12,
                                            kv_cache="int8", **kw)
