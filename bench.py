@@ -72,7 +72,8 @@ def bench_block(model_name: str, batch, prefill: int, decode: int,
     if batch == "auto":
         batch = hbm.auto_batch(
             lambda b: hbm.block_model_bytes(cfg, b, prefill, decode,
-                                            kv_cache=kv_cache))
+                                            kv_cache=kv_cache,
+                                            quantize=quantize))
         print(f"[bench] block auto batch -> {batch}", flush=True)
     batch = int(batch)
     params = jax.jit(lambda k: bt.init_block_transformer_params(

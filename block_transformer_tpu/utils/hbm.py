@@ -18,20 +18,49 @@ def hbm_bytes_limit(default: int = 16 * 2 ** 30) -> int:
     return int(stats.get("bytes_limit", default))
 
 
+def weight_bytes(quantize: str, dtype_bytes: int = 2,
+                 group_size: int = 32) -> float:
+    """Average stored bytes per matmul weight under a quantize mode.
+
+    int8: int8 value + fp32 per-output-channel scale (amortized ~0).
+    int4: packed nibble + fp32 scale per K-group of `group_size`.
+    """
+    if not quantize or quantize == "none":
+        return float(dtype_bytes)
+    if quantize == "int8":
+        return 1.0
+    if quantize == "int4":
+        return 0.5 + 4.0 / group_size
+    raise ValueError(quantize)
+
+
 def block_model_bytes(cfg, batch: int, prefill: int, decode: int,
-                      dtype_bytes: int = 2, kv_cache: str = "bf16") -> int:
-    """Estimated peak HBM for generate_blocks at a given batch."""
+                      dtype_bytes: int = 2, kv_cache: str = "bf16",
+                      quantize: str = None) -> int:
+    """Estimated peak HBM for generate_blocks at a given batch.
+
+    `quantize` mirrors bench.py --quantize (none/int8/int4/mixed48):
+    matmul weights and the LM head are stored at the quantized width;
+    embedding tables stay at dtype_bytes (gathers are not quantized).
+    """
     L = cfg.block_length
     n = cfg.n_embedding_tokens
     blocks = (prefill + decode + L - 1) // L
     bd = cfg.block_decoder
     td = cfg.token_decoder.neox
-    params = (cfg.embedder.vocab_size * cfg.embedder.hidden_size
-              + bd.num_layers * 12 * bd.hidden_size ** 2
-              + td.num_layers * 12 * td.hidden_size ** 2
-              + 2 * td.vocab_size * td.hidden_size
-              + cfg.embedder.projection_hidden_size * td.hidden_size
-              * (cfg.expansion_ratio + 1))
+    if quantize == "mixed48":
+        bd_wb, td_wb = weight_bytes("int8"), weight_bytes("int4")
+        head_wb = weight_bytes("int8")
+    else:
+        bd_wb = td_wb = head_wb = weight_bytes(quantize, dtype_bytes)
+    embed_params = (cfg.embedder.vocab_size * cfg.embedder.hidden_size
+                    + td.vocab_size * td.hidden_size)
+    mat_bytes = (bd_wb * bd.num_layers * 12 * bd.hidden_size ** 2
+                 + td_wb * td.num_layers * 12 * td.hidden_size ** 2
+                 + head_wb * td.vocab_size * td.hidden_size
+                 + td_wb * cfg.embedder.projection_hidden_size
+                 * td.hidden_size * (cfg.expansion_ratio + 1))
+    params = embed_params + mat_bytes / dtype_bytes
     kv_bytes = {"int8": 1 + 4 / bd.head_dim,
                 "int4": 0.5 + 4 / bd.head_dim}.get(kv_cache, dtype_bytes)
     global_kv = int(2 * bd.num_layers * batch * bd.num_heads * blocks * n
@@ -62,10 +91,16 @@ def vanilla_model_bytes(cfg, batch: int, prefill: int, decode: int,
 
 def auto_batch(estimate_fn, limit: int = None, margin: float = 0.8,
                max_batch: int = 4096) -> int:
-    """Largest power-of-2 batch whose estimate fits within margin*limit."""
+    """Largest batch of the form 2^k or 3*2^k whose estimate fits within
+    margin*limit (both families keep the leading dim a multiple of the
+    8/128 tile sizes past batch 128)."""
     if limit is None:
         limit = hbm_bytes_limit()
-    b = 1
-    while b < max_batch and estimate_fn(b * 2) < limit * margin:
-        b *= 2
-    return b
+    candidates = sorted(
+        {b for k in range(max_batch.bit_length())
+         for b in (2 ** k, 3 * 2 ** k) if b <= max_batch})
+    best = 1
+    for b in candidates:
+        if estimate_fn(b) < limit * margin:
+            best = b
+    return best

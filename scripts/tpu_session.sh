@@ -13,6 +13,10 @@ mkdir -p results
   timeout 2400 python scripts/mixed48_stage_probe.py 2>&1 | grep -v WARNING
   echo "--- probe 2: prefill decomposition ---"
   timeout 2400 python scripts/prefill_profile.py 2>&1 | grep -v WARNING
+  echo "--- race 0: quant-aware HBM model raised the default auto batch to 384"
+  echo "    (int8 weights + int4 KV; prior headline was b256) ---"
+  timeout 4200 python bench.py \
+      --detail_out BENCH_DETAIL_b384.json 2>&1 | grep -v WARNING | tail -4
   echo "--- race 1: chunked prefill attention (default int4 KV headline) ---"
   BT_CHUNKED_PREFILL_ATTN=1 timeout 4200 python bench.py \
       --detail_out BENCH_DETAIL_chunked.json 2>&1 | grep -v WARNING | tail -4
@@ -28,6 +32,10 @@ mkdir -p results
   timeout 4200 python bench.py --engine --batch 16 --vanilla_batch 16 \
       --kv int8 --detail_out BENCH_DETAIL_engine_b16.json 2>&1 \
       | grep -v WARNING | tail -4
+  echo "--- race 4 (speculative): b512 — static model says 14.7/15.75 GiB (94%),"
+  echo "    past the 0.8 auto margin; an OOM here fails fast and costs nothing ---"
+  timeout 4200 python bench.py --batch 512 \
+      --detail_out BENCH_DETAIL_b512.json 2>&1 | grep -v WARNING | tail -4
   echo "--- validation: paged KV pool engine on TPU ---"
   timeout 3600 python bench.py --engine --engine_kv paged --decode 64 \
       --detail_out BENCH_DETAIL_paged.json 2>&1 | grep -v WARNING | tail -6
