@@ -189,7 +189,9 @@ def _two_level_decomposition(params, cfg, batch, prefill, decode, dtype,
     def cache_only(be):
         cache = neox.make_kv_cache(cfg.block_decoder, batch, capacity,
                                    kv_cache, dtype=dtype)
-        return be + jax.tree.leaves(cache)[0].astype(be.dtype)[0, 0, 0, 0]
+        # scalar data dependence on the zero-fill, valid for any leaf rank
+        # (bf16 k is [layers,B,H,S,D]; int4 packs the last axis)
+        return be + jax.tree.leaves(cache)[0].astype(be.dtype).ravel()[0]
 
     out = {}
     jax.block_until_ready(token_stage(params, be))
