@@ -106,9 +106,10 @@ def _chunked_tile() -> int:
 def _use_chunked(Q: int, K: int) -> bool:
     """Prefill-shaped XLA attention through the online-softmax tiles:
     Q >= 64 rows with enough K tiles to amortize the rescale — decode
-    shapes keep the direct form. Opt-in (BT_CHUNKED_PREFILL_ATTN=1) until
-    the end-to-end race on the real chip decides the default — dispatch
-    here is measured, never assumed."""
+    shapes keep the direct form. Raced on chip at the b384 default
+    operating point: 9,997 vs 12,769 tok/s (-22%, BENCH_DETAIL_chunked),
+    so it stays opt-in (BT_CHUNKED_PREFILL_ATTN=1); its value is score-
+    buffer memory headroom at prefill lengths past p2048, not speed."""
     import os
     if os.environ.get("BT_CHUNKED_PREFILL_ATTN", "0") != "1":
         return False
