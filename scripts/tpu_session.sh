@@ -9,18 +9,12 @@ LOG=results/tpu_session.log
 mkdir -p results
 {
   echo "=== tpu_session $(date -u) ==="
-  echo "--- probe 1: mixed48 stage probe (token/block ms per step, int8 vs int4 token decoder) ---"
-  timeout 2400 python scripts/mixed48_stage_probe.py 2>&1 | grep -v WARNING
-  echo "--- probe 2: prefill decomposition ---"
+  echo "--- probe: prefill decomposition ---"
   timeout 2400 python scripts/prefill_profile.py 2>&1 | grep -v WARNING
-  echo "--- race: mixed48 weights + int4 KV (full-graph compile is the long pole; 2h budget) ---"
-  timeout 7200 python bench.py --quantize mixed48 \
-      --detail_out BENCH_DETAIL_mixed48.json 2>&1 | grep -v WARNING | tail -4
-  if [ ! -s BENCH_DETAIL_mixed48.json ]; then
-    echo "--- fallback: mixed48 with W8A8 off (smaller graph; W8A8 is prefill-only) ---"
-    BT_W8A8=0 timeout 7200 python bench.py --quantize mixed48 \
-        --detail_out BENCH_DETAIL_mixed48_now8a8.json 2>&1 | grep -v WARNING | tail -4
-  fi
+  # mixed48 full-graph race REMOVED: the stage probe ran at b128 AND b16
+  # (2026-08-18) — int4 token decoder loses to int8 at both (14.93 vs 9.62,
+  # 9.55 vs 5.58 ms/block-step), so the full race cannot beat the int8
+  # headline; mixed48 is a memory/quality option (RESULTS.md).
   echo "--- validation: paged KV pool engine on TPU ---"
   timeout 3600 python bench.py --engine --engine_kv paged --decode 64 \
       --detail_out BENCH_DETAIL_paged.json 2>&1 | grep -v WARNING | tail -6
