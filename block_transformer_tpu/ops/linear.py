@@ -25,10 +25,16 @@ Prefill-sized INT8 matmuls (M >= BT_W8A8_M_MIN) additionally quantize the
 MXU runs int8 at ~1.8x its bf16 rate, and at prefill M the matmul is
 compute-bound, so dynamic activation quant is a straight win (measured
 per-shape in scripts/w8a8_probe3.py: QKV 1.45x, MLP-up 1.58x, MLP-down
-1.17x, attn-out 1.24x). Decode-sized M stays on convert+dot / Pallas —
-there the matmul is weight-streaming-bound and extra quant work only adds
-latency. The path exists only for already-INT8 weights, so training (fp
-params) is never affected.
+1.17x, attn-out 1.24x). The threshold default is M >= 384: the original
+2048 floor assumed decode-sized M is weight-streaming-bound, but the
+end-to-end race at the b384 headline regime falsified that — W8A8 on the
+decode matmuls measures 13,452 vs 12,768 tok/s (+5.4%, BENCH_DETAIL_
+w8a8_decode.json); at batch >= ~256 the decode matmuls are already
+MXU-compute-bound (RESULTS.md) so the 1.8x int8 MXU rate pays there too.
+Small-M decode (serving engine at b16, M << 384) stays on convert+dot,
+where weight streaming dominates and quant work only adds latency. The
+path exists only for already-INT8 weights, so training (fp params) is
+never affected.
 
 Env switches (measured defaults; see RESULTS.md kernel-dispatch table):
   BT_PALLAS_INT8=1    enable the Pallas int8 kernel (default: XLA
@@ -38,7 +44,7 @@ Env switches (measured defaults; see RESULTS.md kernel-dispatch table):
   BT_PALLAS_QKV=1     allow the int8 kernel on the fused-QKV (N=3K) shape
   BT_W8A8=0           disable W8A8 prefill matmuls (default: on for TPU
                       int8-weight matmuls with M >= BT_W8A8_M_MIN)
-  BT_W8A8_M_MIN=n     W8A8 row-count threshold (default 2048)
+  BT_W8A8_M_MIN=n     W8A8 row-count threshold (default 384)
 """
 
 from __future__ import annotations
@@ -149,7 +155,7 @@ def _slice(a, i):
 def _use_w8a8(m: int) -> bool:
     if not _on_tpu() or os.environ.get("BT_W8A8", "1") == "0":
         return False
-    return m >= int(os.environ.get("BT_W8A8_M_MIN", "2048"))
+    return m >= int(os.environ.get("BT_W8A8_M_MIN", "384"))
 
 
 def _w8a8_dot(x2: jax.Array, w_q: jax.Array, scale: jax.Array) -> jax.Array:
