@@ -155,6 +155,21 @@ def _slice(a, i):
 def _use_w8a8(m: int) -> bool:
     if not _on_tpu() or os.environ.get("BT_W8A8", "1") == "0":
         return False
+    # Never inside a shard_map (Manual-mesh) body: row-parallel matmuls
+    # (attn-out / MLP-down, K-sharded per tp_param_specs) see only a
+    # K-slice of each activation row there, so the per-row dynamic amax
+    # would diverge from the single-device full-row scale — silently
+    # breaking the asserted token-exactness of TP decode vs single-device
+    # (apply_linear cannot tell column- from row-parallel call sites, so
+    # the conservative gate covers both).
+    try:
+        mesh = jax.sharding.get_abstract_mesh()
+        if mesh is not None and mesh.axis_names:
+            from jax.sharding import AxisType
+            if any(t == AxisType.Manual for t in mesh.axis_types):
+                return False
+    except Exception:
+        pass
     return m >= int(os.environ.get("BT_W8A8_M_MIN", "384"))
 
 

@@ -100,3 +100,25 @@ def test_gspmd_generate_under_mesh_with_constraints():
             max_blocks=8, greedy=True)
     np.testing.assert_array_equal(np.asarray(res.tokens),
                                   np.asarray(ref.tokens))
+
+
+def test_w8a8_gated_off_under_manual_mesh(monkeypatch):
+    """W8A8 dynamic activation quant must never trace inside a shard_map
+    body: row-parallel matmuls see only a K-slice of each activation row
+    there, so per-row amax scales would diverge from the single-device
+    full-row scales and silently break TP token-exactness (ADVICE r2)."""
+    from block_transformer_tpu.ops import linear as lin
+    monkeypatch.setattr(lin, "_on_tpu", lambda: True)
+    monkeypatch.setenv("BT_W8A8", "1")
+    monkeypatch.setenv("BT_W8A8_M_MIN", "384")
+    assert lin._use_w8a8(512)            # plain single-device trace: on
+    mesh = sh.make_mesh(n_data=2, n_model=4)
+    seen = {}
+
+    def body(x):
+        seen["w8a8"] = lin._use_w8a8(512)
+        return x
+
+    jax.jit(jax.shard_map(body, mesh=mesh, in_specs=P("data"),
+                          out_specs=P("data")))(np.zeros(8))
+    assert seen["w8a8"] is False
