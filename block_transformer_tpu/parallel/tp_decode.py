@@ -337,17 +337,77 @@ def _tp_logits(params, hidden, axis: str = "model"):
                               tiled=True)
 
 
+def _tp_sample_tokens(params, hidden, greedy, temperature, key,
+                      top_k: int = 0, top_p: float = 1.0,
+                      axis: str = "model"):
+    """Vocab-sharded sampling WITHOUT gathering the logits.
+
+    The round-2 path all-gathered the full ``[B, V/tp]`` fp32 logit shard
+    every token step (tp_decode.py round-2 :331-337) — at b384 / V=50304
+    that is a 77 MB collective on the inner loop's critical path. Greedy
+    and pure-temperature sampling only need the global *top-1*, which
+    distributes: each shard reduces its slice to (max score, local
+    argmax), and one ``all_gather`` of ``[tp, B]`` value/index pairs
+    (8 bytes per row instead of ``4*V/tp``) picks the winner.
+
+    - **greedy**: bitwise-exact vs argmax over the gathered logits — the
+      shard max preserves values, and ``argmax`` over shards resolves
+      value ties to the lowest shard index, i.e. the globally-first
+      maximum, matching single-device ``jnp.argmax`` tie-breaking.
+    - **temperature**: Gumbel-max over per-shard logits (categorical IS
+      argmax of logits + Gumbel noise). The noise comes from
+      ``fold_in(key, shard)``, so the sampled stream is distributionally
+      exact but not bitwise-identical to the single-device
+      ``jax.random.categorical`` stream.
+    - **top-k / top-p** need a global sort, so they keep the full logits
+      gather (the reference demo's sampling surface stays complete).
+
+    ``BT_TP_FULL_GATHER=1`` restores the round-2 full-gather path for
+    A/B measurement.
+    """
+    from block_transformer_tpu.inference.generate import _sample as _samp
+    import os as _os
+    if top_k or top_p < 1.0 or _os.environ.get("BT_TP_FULL_GATHER") == "1":
+        logits = _tp_logits(params, hidden, axis)
+        return _samp(logits, greedy, temperature, key, top_k=top_k,
+                     top_p=top_p)
+    local = apply_linear(hidden, _nobias(params["embed_out"]))
+    if "bias" in params["embed_out"]:
+        local = local + params["embed_out"]["bias"]
+    local = local.astype(jnp.float32)                    # [B, V_local]
+    v_local = local.shape[-1]
+    if greedy:
+        score = local
+    else:
+        shard = jax.lax.axis_index(axis)
+        g = jax.random.gumbel(jax.random.fold_in(key, shard), local.shape,
+                              jnp.float32)
+        score = local / temperature + g
+    val = jnp.max(score, axis=-1)                        # [B]
+    idx = jnp.argmax(score, axis=-1).astype(jnp.int32)   # [B]
+    vals = jax.lax.all_gather(val, axis)                 # [tp, B]
+    idxs = jax.lax.all_gather(idx, axis)                 # [tp, B]
+    win = jnp.argmax(vals, axis=0)                       # [B] lowest-shard tie
+    tok = jnp.take_along_axis(idxs, win[None], axis=0)[0]
+    return (win.astype(jnp.int32) * v_local + tok).astype(jnp.int32)
+
+
 # ---------------------------------------------------------------------------
 # Two-level decode (shard_map body)
 # ---------------------------------------------------------------------------
 
-class _Carry(NamedTuple):
-    tokens: jax.Array
-    n_blocks: jax.Array
-    next_embeds: jax.Array
+class _StreamState(NamedTuple):
+    """Per-stream decode state for the (optionally) interleaved schedule."""
+    tokens: jax.Array        # [Bs, max_blocks, L]
+    next_embeds: jax.Array   # [Bs, n, ph]
     cache: object
-    kv_valid: jax.Array
-    unfinished: jax.Array
+    kv_valid: jax.Array      # [Bs, capacity]
+    unfinished: jax.Array    # [Bs] int32
+
+
+class _Carry(NamedTuple):
+    streams: tuple           # tuple[_StreamState, ...]
+    n_blocks: jax.Array
     any_unfinished: jax.Array
     key: jax.Array
 
@@ -355,12 +415,13 @@ class _Carry(NamedTuple):
 def _tp_decode_block_tokens(params, cfg: BlockTransformerConfig, tp,
                             block_embeddings, greedy, temperature, key,
                             top_k: int = 0, top_p: float = 1.0):
-    """Inner loop on shards: local token-decoder cache, all-gathered logits."""
-    from block_transformer_tpu.inference.generate import _sample as _samp
+    """Inner loop on shards: local token-decoder cache, distributed
+    top-1 sampling (no logits gather — see _tp_sample_tokens)."""
 
-    def _sample(logits, greedy, temperature, key):
-        return _samp(logits, greedy, temperature, key, top_k=top_k,
-                     top_p=top_p)
+    def _sample(hidden_last, greedy, temperature, key):
+        return _tp_sample_tokens(params["token_decoder"], hidden_last,
+                                 greedy, temperature, key,
+                                 top_k=top_k, top_p=top_p)
     tcfg = cfg.token_decoder
     L = cfg.block_length
     n_exp = cfg.n_expanded_emb
@@ -381,11 +442,11 @@ def _tp_decode_block_tokens(params, cfg: BlockTransformerConfig, tp,
         h, cache = _tp_stack(params["token_decoder"], x, cfg=tcfg.neox, tp=tp,
                              mask=mask, positions=positions, cache=cache,
                              write_pos=cache.length)
-        return _tp_logits(params["token_decoder"], h[:, -1, :]), cache
+        return h[:, -1, :], cache
 
-    logits, cache = run(expanded, cache)
+    hidden, cache = run(expanded, cache)
     key, k0 = jax.random.split(key)
-    first = _sample(logits, greedy, temperature, k0)
+    first = _sample(hidden, greedy, temperature, k0)
     alive = first != eos
     first = jnp.where(alive, first, pad)
     tokens0 = jnp.zeros((B, L), jnp.int32).at[:, 0].set(first)
@@ -395,8 +456,8 @@ def _tp_decode_block_tokens(params, cfg: BlockTransformerConfig, tp,
         key, kk = jax.random.split(key)
         prev = jnp.where(alive, tokens[:, i - 1], pad)
         x = neox.embed_tokens(params["token_decoder"], prev[:, None])
-        logits, cache = run(x, cache)
-        nxt = _sample(logits, greedy, temperature, kk)
+        hidden, cache = run(x, cache)
+        nxt = _sample(hidden, greedy, temperature, kk)
         emit = jnp.where(alive & (nxt != eos), nxt, pad)
         alive = alive & (nxt != eos)
         tokens = tokens.at[:, i].set(emit)
@@ -410,17 +471,33 @@ def _tp_decode_block_tokens(params, cfg: BlockTransformerConfig, tp,
 def make_tp_generate_blocks(mesh, cfg: BlockTransformerConfig, params_tree,
                             *, max_blocks: int, greedy: bool = True,
                             temperature: float = 1.0,
-                            kv_cache: str = "bf16"):
+                            kv_cache: str = "bf16",
+                            overlap_streams: int = 1):
     """Build a jitted shard_map two-level generator over ``mesh``.
 
     Returns ``fn(params, input_ids, attention_mask, block_attention_mask,
     key) -> tokens [B, max_blocks, L]`` with batch sharded over every data
     axis and weights sharded over ``model`` per tp_param_specs.
+
+    ``overlap_streams=2`` enables the **collective/compute overlap
+    schedule** (the BASELINE.json north-star clause): the local batch is
+    split into two independent half-batch streams, and each loop
+    iteration runs ``TD(A); TD(B); BD(A); BD(B)`` — the two chains
+    ``TD(A)->BD(A)`` and ``TD(B)->BD(B)`` share no data, so XLA's
+    latency-hiding scheduler is free to start one stream's per-layer
+    ``psum`` / top-1 ``all_gather`` collectives while the other stream's
+    matmuls execute, instead of stalling the whole batch on every
+    collective. Numerics per stream are exactly the single-stream path
+    at half batch (greedy decode is bitwise-identical either way; the
+    sampled key schedule differs). ``overlap_streams=1`` is the round-2
+    single-chain schedule.
     """
+    assert overlap_streams in (1, 2), overlap_streams
     tp = int(mesh.shape["model"])
     data_axes = tuple(a for a in mesh.axis_names if a != "model")
     n = cfg.n_embedding_tokens
     ph = cfg.embedder.projection_hidden_size
+    L = cfg.block_length
     capacity = max_blocks * n
     if capacity >= 128:
         capacity = -(-capacity // 128) * 128
@@ -429,19 +506,10 @@ def make_tp_generate_blocks(mesh, cfg: BlockTransformerConfig, params_tree,
     data_p = P(data_axes)
 
     def body(params, input_ids, attention_mask, bam, key):
-        B, N, L = input_ids.shape
+        B, N, _ = input_ids.shape
         # decorrelate sampling noise across data shards
         for ax in data_axes:
             key = jax.random.fold_in(key, jax.lax.axis_index(ax))
-
-        block_embeds = emb.embed_blocks(params["embedder"], cfg.embedder,
-                                        cfg.block_length, input_ids,
-                                        attention_mask=attention_mask)
-        x = block_embeds.reshape(B, N * n, ph)
-        cache = cache_cls.create(_local_cfg(cfg.block_decoder, tp), B,
-                                 capacity, dtype=x.dtype)
-        kv_valid = jnp.zeros((B, capacity), jnp.int32)
-        prompt_valid = jnp.repeat(bam.astype(jnp.int32), n, axis=1)
 
         def block_step(inputs_embeds, cache, kv_valid, new_valid):
             S = inputs_embeds.shape[1]
@@ -456,44 +524,85 @@ def make_tp_generate_blocks(mesh, cfg: BlockTransformerConfig, params_tree,
                                  write_pos=cache.length)
             return h, cache, kv_valid
 
-        hidden, cache, kv_valid = block_step(x, cache, kv_valid, prompt_valid)
-        next_embeds = hidden[:, -n:, :]
+        def prefill_stream(ids_s, att_s, bam_s) -> _StreamState:
+            Bs = ids_s.shape[0]
+            block_embeds = emb.embed_blocks(params["embedder"], cfg.embedder,
+                                            L, ids_s, attention_mask=att_s)
+            x = block_embeds.reshape(Bs, N * n, ph)
+            cache = cache_cls.create(_local_cfg(cfg.block_decoder, tp), Bs,
+                                     capacity, dtype=x.dtype)
+            kv_valid = jnp.zeros((Bs, capacity), jnp.int32)
+            prompt_valid = jnp.repeat(bam_s.astype(jnp.int32), n, axis=1)
+            hidden, cache, kv_valid = block_step(x, cache, kv_valid,
+                                                 prompt_valid)
+            tokens = jnp.zeros((Bs, max_blocks, L), jnp.int32)
+            tokens = jax.lax.dynamic_update_slice(
+                tokens, ids_s.astype(jnp.int32), (0, 0, 0))
+            return _StreamState(tokens, hidden[:, -n:, :], cache, kv_valid,
+                                jnp.ones((Bs,), jnp.int32))
 
-        tokens = jnp.zeros((B, max_blocks, L), jnp.int32)
-        tokens = jax.lax.dynamic_update_slice(
-            tokens, input_ids.astype(jnp.int32), (0, 0, 0))
-        carry = _Carry(tokens, jnp.int32(N), next_embeds, cache, kv_valid,
-                       jnp.ones((B,), jnp.int32), jnp.int32(1), key)
+        def td_stream(st: _StreamState, kb):
+            """Token-decode one block for this stream (inner loop)."""
+            alive = st.unfinished.astype(bool)
+            new_tokens, inner_alive = _tp_decode_block_tokens(
+                params, cfg, tp, st.next_embeds, greedy, temperature, kb)
+            new_tokens = jnp.where(alive[:, None], new_tokens,
+                                   cfg.pad_token_id)
+            return new_tokens, st.unfinished * inner_alive.astype(jnp.int32)
+
+        def bd_stream(st: _StreamState, new_tokens, unfinished,
+                      n_blocks) -> _StreamState:
+            """Embed the new block and advance this stream's block decoder."""
+            Bs = new_tokens.shape[0]
+            alive = st.unfinished.astype(bool)
+            tokens = jax.lax.dynamic_update_slice(
+                st.tokens, new_tokens[:, None, :], (0, n_blocks, 0))
+            new_be = emb.embed_blocks(params["embedder"], cfg.embedder, L,
+                                      new_tokens)
+            new_be = jnp.where(alive[:, None, None], new_be, 0.0)
+            hidden, cache, kv_valid = block_step(
+                new_be.reshape(Bs, n, ph).astype(st.next_embeds.dtype),
+                st.cache, st.kv_valid,
+                jnp.broadcast_to(unfinished[:, None], (Bs, n)))
+            return _StreamState(tokens, hidden[:, -n:, :], cache, kv_valid,
+                                unfinished)
+
+        if overlap_streams == 2:
+            assert B % 2 == 0, (B, "overlap_streams=2 needs an even "
+                                "per-shard batch")
+            h = B // 2
+            streams = tuple(
+                prefill_stream(input_ids[s:s + h], attention_mask[s:s + h],
+                               bam[s:s + h]) for s in (0, h))
+        else:
+            streams = (prefill_stream(input_ids, attention_mask, bam),)
+        carry = _Carry(streams, jnp.int32(N), jnp.int32(1), key)
 
         def cond(c):
             return (c.n_blocks < max_blocks) & (c.any_unfinished > 0)
 
         def step(c: _Carry) -> _Carry:
-            key, kb = jax.random.split(c.key)
-            alive = c.unfinished.astype(bool)
-            new_tokens, inner_alive = _tp_decode_block_tokens(
-                params, cfg, tp, c.next_embeds, greedy, temperature, kb)
-            new_tokens = jnp.where(alive[:, None], new_tokens,
-                                   cfg.pad_token_id)
-            unfinished = c.unfinished * inner_alive.astype(jnp.int32)
-            tokens = jax.lax.dynamic_update_slice(
-                c.tokens, new_tokens[:, None, :], (0, c.n_blocks, 0))
-            new_be = emb.embed_blocks(params["embedder"], cfg.embedder,
-                                      cfg.block_length, new_tokens)
-            new_be = jnp.where(alive[:, None, None], new_be, 0.0)
-            hidden, cache, kv_valid = block_step(
-                new_be.reshape(B, n, ph).astype(c.next_embeds.dtype),
-                c.cache, c.kv_valid,
-                jnp.broadcast_to(unfinished[:, None], (B, n)))
+            keys = jax.random.split(c.key, 1 + len(c.streams))
+            key = keys[0]
+            # All token-decoder inner loops first, then all block-decoder
+            # steps: the chains TD(s)->BD(s) are mutually independent, so
+            # the scheduler can hide stream s's collectives under stream
+            # s+1's compute (and vice versa) — nothing in the program
+            # orders them.
+            tds = [td_stream(st, keys[1 + i])
+                   for i, st in enumerate(c.streams)]
+            streams = tuple(bd_stream(st, t, u, c.n_blocks)
+                            for st, (t, u) in zip(c.streams, tds))
             # replicated stopping flag: sum unfinished over the data axes
-            any_unf = jnp.sum(unfinished)
+            any_unf = sum(jnp.sum(st.unfinished) for st in streams)
             for ax in data_axes:
                 any_unf = jax.lax.psum(any_unf, ax)
-            return _Carry(tokens, c.n_blocks + 1, hidden[:, -n:, :], cache,
-                          kv_valid, unfinished, any_unf, key)
+            return _Carry(streams, c.n_blocks + 1, any_unf, key)
 
         final = jax.lax.while_loop(cond, step, carry)
-        return final.tokens, final.n_blocks
+        tokens = (final.streams[0].tokens if len(final.streams) == 1 else
+                  jnp.concatenate([st.tokens for st in final.streams], 0))
+        return tokens, final.n_blocks
 
     fn = jax.shard_map(
         body, mesh=mesh,

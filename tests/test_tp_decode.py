@@ -122,3 +122,53 @@ def test_w8a8_gated_off_under_manual_mesh(monkeypatch):
     jax.jit(jax.shard_map(body, mesh=mesh, in_specs=P("data"),
                           out_specs=P("data")))(np.zeros(8))
     assert seen["w8a8"] is False
+
+
+def test_tp_decode_overlap_streams_exact():
+    """The interleaved two-stream overlap schedule (overlap_streams=2) is
+    token-exact vs the single-device greedy decode: each half-batch stream
+    runs the identical math, only the program order interleaves."""
+    cfg, params, ids, att, bam = _setup()
+    ref = gen.generate_blocks(params, cfg, ids, att, bam, max_blocks=8,
+                              greedy=True)
+    mesh = sh.make_mesh(n_data=2, n_model=4)
+    tp_params = tp_decode.prepare_tp_params(params, cfg,
+                                            tp=int(mesh.shape["model"]))
+    fn = tp_decode.make_tp_generate_blocks(mesh, cfg, tp_params,
+                                           max_blocks=8, kv_cache="int8",
+                                           overlap_streams=2)
+    sp = jax.tree.map(lambda s: NamedSharding(mesh, s),
+                      tp_decode.tp_param_specs(tp_params),
+                      is_leaf=lambda x: isinstance(x, P))
+    p_sh = jax.tree.map(jax.device_put, tp_params, sp)
+    data_sh = NamedSharding(mesh, P(sh.data_axes(mesh)))
+    toks, nb = fn(p_sh, jax.device_put(ids, data_sh),
+                  jax.device_put(att, data_sh), jax.device_put(bam, data_sh),
+                  jax.random.PRNGKey(0))
+    np.testing.assert_array_equal(
+        np.asarray(toks)[:, :int(nb)],
+        np.asarray(ref.tokens)[:, :int(ref.n_blocks)])
+
+
+def test_tp_sampled_decode_runs_and_differs_by_key():
+    """Distributed Gumbel-max sampling: valid tokens, and different keys
+    give different streams (distributional sanity, not stream equality)."""
+    cfg, params, ids, att, bam = _setup()
+    mesh = sh.make_mesh(n_data=2, n_model=4)
+    tp_params = tp_decode.prepare_tp_params(params, cfg,
+                                            tp=int(mesh.shape["model"]))
+    fn = tp_decode.make_tp_generate_blocks(mesh, cfg, tp_params,
+                                           max_blocks=8, greedy=False,
+                                           temperature=1.0)
+    sp = jax.tree.map(lambda s: NamedSharding(mesh, s),
+                      tp_decode.tp_param_specs(tp_params),
+                      is_leaf=lambda x: isinstance(x, P))
+    p_sh = jax.tree.map(jax.device_put, tp_params, sp)
+    data_sh = NamedSharding(mesh, P(sh.data_axes(mesh)))
+    args = (jax.device_put(ids, data_sh), jax.device_put(att, data_sh),
+            jax.device_put(bam, data_sh))
+    t0, _ = fn(p_sh, *args, jax.random.PRNGKey(0))
+    t1, _ = fn(p_sh, *args, jax.random.PRNGKey(1))
+    t0, t1 = np.asarray(t0), np.asarray(t1)
+    assert (t0 >= 0).all() and (t0 < VOCAB).all()
+    assert not np.array_equal(t0[:, 4:], t1[:, 4:])
