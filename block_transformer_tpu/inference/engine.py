@@ -110,7 +110,8 @@ class ContinuousBatchingEngine:
                  kv_cache: str = "bf16", bucket_blocks: int = 64,
                  sync_blocks: int = 4, max_window: int = 64, seed: int = 0,
                  page_size: int = 256, pool_pages: Optional[int] = None,
-                 mesh=None, mesh_impl: str = "gspmd"):
+                 mesh=None, mesh_impl: str = "gspmd",
+                 latency_mode: bool = False, window_growth: float = 2.0):
         self.params = params
         self.cfg = cfg
         self.n_slots = n_slots
@@ -128,6 +129,18 @@ class ContinuousBatchingEngine:
         # traced argument — one compile covers every size).
         self.sync_blocks = max(1, sync_blocks)
         self.max_window = max(self.sync_blocks, max_window)
+        # Latency policy (round-3): pure adaptive windows maximize
+        # throughput by collapsing a request lifetime into ~2 dispatches,
+        # but then EVERY token arrives at the end — measured TTFT p50 of
+        # 14.3 s on a 0.54 s decode (BENCH_DETAIL_engine_b16 r2). In
+        # latency mode the first window after any admission is capped at
+        # ``sync_blocks`` (first tokens stream one window into decode) and
+        # subsequent windows grow by ``window_growth`` per dispatch, so
+        # the dispatch count stays O(log(budget/sync_blocks)) — bounded
+        # throughput cost — while TTFT collapses to the window cadence.
+        self.latency_mode = latency_mode
+        self.window_growth = max(1.0, window_growth)
+        self._window_cap = self.sync_blocks if latency_mode else self.max_window
         n = cfg.n_embedding_tokens
         ph = cfg.embedder.projection_hidden_size
         # activation dtype: follow a (never-quantized) embedder table — the
@@ -553,6 +566,10 @@ class ContinuousBatchingEngine:
                 self._dispatched[slot] = 0
                 req.admitted_at = now
                 self.stats.prompts_admitted += 1
+            if self.latency_mode:
+                # fresh admissions restart the window ramp so their first
+                # tokens arrive one sync_blocks window into decode
+                self._window_cap = self.sync_blocks
 
     def _target_window(self) -> int:
         """Blocks until the next scheduling event the host can foresee:
@@ -573,6 +590,8 @@ class ContinuousBatchingEngine:
         wl = min(min(rem), self.max_window)
         if self.waiting:
             wl = min(wl, self.sync_blocks)
+        if self.latency_mode:
+            wl = min(wl, int(self._window_cap))
         return max(1, wl)
 
     def _dispatch(self, window_len: Optional[int] = None):
@@ -588,6 +607,9 @@ class ContinuousBatchingEngine:
         for s in self.active:
             self._dispatched[s] = self._dispatched.get(s, 0) + wl
         self.stats.steps += 1
+        if self.latency_mode:
+            self._window_cap = min(self.max_window,
+                                   self._window_cap * self.window_growth)
         # start the device->host copies NOW: transfers are stream-ordered,
         # so a copy first requested at consume time would queue BEHIND the
         # next window's compute and re-serialize the pipeline (measured
