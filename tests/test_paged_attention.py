@@ -100,3 +100,11 @@ def test_paged_null_page_is_masked():
         jnp.asarray(v_s), 0, jnp.asarray(pt), mask, interpret=True)
     np.testing.assert_allclose(np.asarray(out1), np.asarray(out2),
                                atol=1e-6)
+
+
+def test_paged_multi_group_online_softmax(monkeypatch):
+    """Force npp=2 with n_virt=4 so the grid runs 2 page GROUPS per slot:
+    exercises the cross-group online-softmax accumulation of the round-3
+    retile (one fused DMA + dot per npp pages)."""
+    monkeypatch.setenv("BT_PAGED_NPP", "2")
+    test_paged_matches_contiguous()
