@@ -123,10 +123,29 @@ def bench_block(model_name: str, batch, prefill: int, decode: int,
                                          decode, dtype, kv_cache)
             d["decomposition_batch"] = dbatch
             detail.update(d)
+            from block_transformer_tpu.utils import roofline
+            detail.update(roofline.mfu_summary(
+                cfg, batch=dbatch, prefill=prefill, decode=decode,
+                kv_cache=kv_cache, quantize=quantize,
+                bd_ms=d.get("block_decoder_ms_per_block_step"),
+                td_ms=d.get("token_decoder_ms_per_block_step"),
+                prefill_ms=d.get("prefill_ms")))
         except Exception as e:  # decomposition is diagnostic, not the metric
             detail["decomposition_error"] = str(e)[:200]
     decode_tokens = batch * decode
-    return decode_tokens / dt, batch, detail
+    tps = decode_tokens / dt
+    try:
+        # headline MFU: whole-run tok/s x analytic FLOPs/token at the FULL
+        # batch vs bf16 peak (includes prefill time in the denominator, so
+        # it lower-bounds the decode-stage MFU above)
+        from block_transformer_tpu.utils import roofline
+        m = roofline.decode_stage_model(cfg, batch, prefill, decode,
+                                        kv_cache, quantize)
+        detail["mfu_decode_headline"] = (
+            tps * m["flops_per_token"]) / roofline.PEAK_BF16_FLOPS
+    except Exception:
+        pass
+    return tps, batch, detail
 
 
 def _two_level_decomposition(params, cfg, batch, prefill, decode, dtype,
@@ -193,7 +212,31 @@ def _two_level_decomposition(params, cfg, batch, prefill, decode, dtype,
         # (bf16 k is [layers,B,H,S,D]; int4 packs the last axis)
         return be + jax.tree.leaves(cache)[0].astype(be.dtype).ravel()[0]
 
+    # prefill stage: the real chunked prompt pass at this batch (embed ->
+    # chunk-scanned block decoder), timed as generate_blocks runs it
+    N = max(1, prefill // cfg.block_length)
+    rng = np.random.default_rng(0)
+    p_ids = jnp.asarray(rng.integers(1, cfg.embedder.vocab_size - 2,
+                                     size=(batch, N, cfg.block_length)),
+                        jnp.int32)
+    p_att = jnp.ones_like(p_ids)
+    p_bam = jnp.ones((batch, N), jnp.int32)
+
+    @jax.jit
+    def prefill_stage(params, ids, att, bam):
+        ne, cache, kv_valid = gen.prefill_blocks(params, cfg, ids, att, bam,
+                                                 capacity=capacity,
+                                                 kv_cache=kv_cache)
+        return ne
+
     out = {}
+    jax.block_until_ready(prefill_stage(params, p_ids, p_att, p_bam))
+    pf = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        jax.block_until_ready(prefill_stage(params, p_ids, p_att, p_bam))
+        pf.append(time.perf_counter() - t0)
+    out["prefill_ms"] = 1e3 * min(pf)
     jax.block_until_ready(token_stage(params, be))
     t0 = time.perf_counter()
     jax.block_until_ready(token_stage(params, be))
@@ -269,10 +312,12 @@ def bench_vanilla(name: str, batch, prefill: int, decode: int,
 
 def bench_engine(model_name: str, n_slots: int, prefill: int, decode: int,
                  dtype_str: str = "bfloat16", quantize: str = None,
-                 kv_cache: str = "int8"):
+                 kv_cache: str = "int8", latency_mode: bool = False):
     """Continuous-batching engine throughput: n_slots concurrent prompts,
     steady-state decode tok/s (target >= 80% of static-batch
-    generate_blocks at the same batch)."""
+    generate_blocks at the same batch). ``latency_mode`` runs the
+    TTFT-bounded window ramp (short first window, geometric growth) and
+    reports the latency metrics alongside throughput."""
     import jax
     import jax.numpy as jnp
     from block_transformer_tpu.config import get_config
@@ -294,7 +339,8 @@ def bench_engine(model_name: str, n_slots: int, prefill: int, decode: int,
     eng = ContinuousBatchingEngine(
         params, cfg, n_slots=n_slots, max_blocks=max_blocks,
         kv_cache=kv_cache, bucket_blocks=prefill // L,
-        sync_blocks=int(os.environ.get("BT_ENGINE_SYNC_BLOCKS", "8")))
+        sync_blocks=int(os.environ.get("BT_ENGINE_SYNC_BLOCKS", "8")),
+        latency_mode=latency_mode)
     rng = np.random.default_rng(0)
 
     def submit_all():
@@ -315,6 +361,7 @@ def bench_engine(model_name: str, n_slots: int, prefill: int, decode: int,
     return produced / dt, {"engine_tokens": produced, "engine_time_s": dt,
                            "engine_admit_s": t_admit,
                            "n_slots": n_slots,
+                           "latency_mode": latency_mode,
                            "dispatches": eng.stats.steps,
                            "tokens_wasted": eng.stats.tokens_wasted,
                            "latency": eng.latency_metrics()}
@@ -381,6 +428,20 @@ def main():
         engine_detail["engine_tok_per_s"] = engine_tps
         print(f"[bench] engine: {engine_tps:.1f} tok/s at {args.engine_slots} "
               f"slots", file=sys.stderr, flush=True)
+        gc.collect()
+        # latency-mode row: TTFT-bounded window ramp (VERDICT r2 #2 —
+        # target TTFT p50 within ~2 sync windows at <=10% throughput loss)
+        lat_tps, lat_detail = bench_engine(
+            args.model, args.engine_slots, args.prefill, args.decode,
+            args.dtype, args.quantize, engine_kv, latency_mode=True)
+        lat_detail["engine_tok_per_s"] = lat_tps
+        lat_detail["throughput_vs_max_mode"] = (
+            lat_tps / engine_tps if engine_tps else None)
+        engine_detail["latency_mode_row"] = lat_detail
+        print(f"[bench] engine latency-mode: {lat_tps:.1f} tok/s "
+              f"({100 * lat_tps / max(engine_tps, 1e-9):.0f}% of max mode; "
+              f"ttft_p50={lat_detail['latency'].get('ttft_s_p50', -1):.2f}s)",
+              file=sys.stderr, flush=True)
         gc.collect()
 
     vanilla_tps, vanilla_batch, van_detail = bench_vanilla(

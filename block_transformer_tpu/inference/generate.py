@@ -236,40 +236,21 @@ def _block_decoder_step(params, cfg: BlockTransformerConfig, inputs_embeds,
     return hidden, cache, kv_valid
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "max_blocks", "greedy",
-                                             "temperature", "top_k", "top_p",
-                                             "prefill_chunk_blocks",
-                                             "kv_cache"))
-def generate_blocks(params, cfg: BlockTransformerConfig, input_ids,
-                    attention_mask, block_attention_mask, *, max_blocks: int,
-                    greedy: bool = True, temperature: float = 1.0,
-                    top_k: int = 0, top_p: float = 1.0,
-                    key=None, prefill_chunk_blocks: int = 128,
-                    kv_cache: str = "bf16") -> GenerationResult:
-    """Block-format generation: input_ids/attention_mask [B, N, L],
-    block_attention_mask [B, N]; generates until ``max_blocks`` total blocks
-    or all sequences finish. Fully jitted; one trace per (B, N, max_blocks).
+def prefill_blocks(params, cfg: BlockTransformerConfig, input_ids,
+                   attention_mask, block_attention_mask, *, capacity: int,
+                   kv_cache: str = "bf16", prefill_chunk_blocks: int = 128):
+    """Generation prefill: embed the prompt blocks and stream them through
+    the block decoder. Returns ``(next_embeds [B, n, ph], cache, kv_valid)``
+    positioned at the last real prompt block.
+
+    Chunked: the prompt's block embeddings stream through the block decoder
+    in fixed chunks (cache carried in place), so transient attention
+    activations scale with the chunk, not the whole prompt — this is what
+    lets decode batch sizes reach b128+ at p2048 on one chip.
     """
     B, N, L = input_ids.shape
     n = cfg.n_embedding_tokens
     ph = cfg.embedder.projection_hidden_size
-    if cfg.block_decoder_cls == "gpt-neo" and kv_cache != "bf16":
-        raise NotImplementedError(
-            "quantized global KV with the gpt-neo block decoder is not "
-            "wired; use kv_cache='bf16' for the ablation family")
-    if key is None:
-        key = jax.random.PRNGKey(0)
-    # round capacity to a lane multiple so the fused decode-attention
-    # kernel gets an aligned K tiling (extra slots stay kv_valid=0)
-    capacity = max_blocks * n
-    if capacity >= 128:
-        capacity = -(-capacity // 128) * 128
-
-    # ---- prefill ---------------------------------------------------------
-    # chunked: the prompt's block embeddings stream through the block decoder
-    # in fixed chunks (cache carried in place), so transient attention
-    # activations scale with the chunk, not the whole prompt — this is what
-    # lets decode batch sizes reach b128+ at p2048 on one chip.
     block_embeds = emb.embed_blocks(params["embedder"], cfg.embedder,
                                     cfg.block_length, input_ids,
                                     attention_mask=attention_mask)  # [B,N,n,ph]
@@ -319,6 +300,42 @@ def generate_blocks(params, cfg: BlockTransformerConfig, input_ids,
         cache = cache._replace(length=jnp.int32(S_total))
         kv_valid = jnp.where(
             jnp.arange(capacity)[None] < S_total, kv_valid, 0)
+    return next_embeds, cache, kv_valid
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "max_blocks", "greedy",
+                                             "temperature", "top_k", "top_p",
+                                             "prefill_chunk_blocks",
+                                             "kv_cache"))
+def generate_blocks(params, cfg: BlockTransformerConfig, input_ids,
+                    attention_mask, block_attention_mask, *, max_blocks: int,
+                    greedy: bool = True, temperature: float = 1.0,
+                    top_k: int = 0, top_p: float = 1.0,
+                    key=None, prefill_chunk_blocks: int = 128,
+                    kv_cache: str = "bf16") -> GenerationResult:
+    """Block-format generation: input_ids/attention_mask [B, N, L],
+    block_attention_mask [B, N]; generates until ``max_blocks`` total blocks
+    or all sequences finish. Fully jitted; one trace per (B, N, max_blocks).
+    """
+    B, N, L = input_ids.shape
+    n = cfg.n_embedding_tokens
+    ph = cfg.embedder.projection_hidden_size
+    if cfg.block_decoder_cls == "gpt-neo" and kv_cache != "bf16":
+        raise NotImplementedError(
+            "quantized global KV with the gpt-neo block decoder is not "
+            "wired; use kv_cache='bf16' for the ablation family")
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    # round capacity to a lane multiple so the fused decode-attention
+    # kernel gets an aligned K tiling (extra slots stay kv_valid=0)
+    capacity = max_blocks * n
+    if capacity >= 128:
+        capacity = -(-capacity // 128) * 128
+
+    next_embeds, cache, kv_valid = prefill_blocks(
+        params, cfg, input_ids, attention_mask, block_attention_mask,
+        capacity=capacity, kv_cache=kv_cache,
+        prefill_chunk_blocks=prefill_chunk_blocks)
 
     tokens = jnp.zeros((B, max_blocks, L), jnp.int32)
     tokens = jax.lax.dynamic_update_slice(tokens, input_ids.astype(jnp.int32),
