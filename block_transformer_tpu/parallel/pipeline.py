@@ -15,10 +15,10 @@ Scope: BOTH decoder trunks pipeline over the same ``pipe`` axis — the
 block decoder via ``make_pp_block_decoder_forward`` and the token
 decoder's NeoX stack via ``make_pp_token_decoder_stack`` (substituted
 through ``token_decoder_train_forward(stack_fn=...)``); the embedder and
-LM head stay data-parallel. The final psum that returns the last stage's
-outputs to every pipe replica is the simple-and-correct choice at dryrun
-scale — on a pod you would keep activations on the last stage and chain
-the next trunk's first stage there.
+LM head stay data-parallel. Each trunk's output leaves the shard_map
+stacked per-stage (sharded over ``pipe``) and the last stage's entry is
+sliced outside — GSPMD lowers that to a one-to-all broadcast from the
+last stage, replacing the round-2 zero-padded ring ``psum``.
 
 Bubble fraction is the usual (P-1)/(m+P-1) for P stages and m
 microbatches; pick ``n_micro`` >= 4*P to keep it under ~20%.
@@ -49,6 +49,15 @@ def make_pp_neox_layers(mesh: Mesh, cfg, n_micro: int, remat: bool = False):
     ``layers`` is the stacked ``[L, ...]`` param node (leading axis sharded
     over ``pipe``), ``x`` is ``[B, S, h]`` (batch sharded over data axes),
     and the mask triple is ops.masks.AttnMask's components.
+
+    Output distribution (round-3 fix of the docstring's own last-stage
+    psum note): the shard_map returns the PER-STAGE output stacked on a
+    leading ``pipe``-sharded axis — spec-accurate, no collective inside
+    the body — and the wrapper slices the last stage's entry outside.
+    GSPMD lowers that slice-of-a-sharded-axis to a one-to-all broadcast
+    from the last stage (1x payload on each link) instead of the round-2
+    zero-padded ring ``psum`` (which moved the full payload through every
+    stage and summed P-1 zero tensors).
     """
     assert "pipe" in mesh.axis_names, mesh.axis_names
     n_stages = int(mesh.shape["pipe"])
@@ -99,17 +108,25 @@ def make_pp_neox_layers(mesh: Mesh, cfg, n_micro: int, remat: bool = False):
 
         ticks = jnp.arange(m + n_stages - 1, dtype=jnp.int32)
         _, ys = jax.lax.scan(tick, jnp.zeros((mb, S, H), x.dtype), ticks)
-        # microbatch i leaves the last stage at tick i + (P-1)
-        outs = jnp.where(stage == last, ys[last:last + m], 0)
-        outs = jax.lax.psum(outs, "pipe")
-        return outs.reshape(B_loc, S, H)
+        # microbatch i leaves the last stage at tick i + (P-1); every stage
+        # contributes its own slice to the stacked output and only the last
+        # stage's entry is read — no in-body collective needed
+        return ys[last:last + m].reshape(1, B_loc, S, H)
 
-    return shard_map(
+    stacked = shard_map(
         pipelined, mesh=mesh,
         in_specs=(P("pipe"), bspec + P(None, None), P(None), P(None),
                   bspec + P(None)),
-        out_specs=bspec + P(None, None),
+        out_specs=P("pipe") + bspec + P(None, None),
         check_vma=False)
+
+    def fn(layers, x, q_idx, kv_idx, kv_valid):
+        out = stacked(layers, x, q_idx, kv_idx, kv_valid)
+        # slice of the pipe-sharded axis -> one-to-all broadcast from the
+        # last stage under GSPMD
+        return out[n_stages - 1]
+
+    return fn
 
 
 def make_pp_block_decoder_forward(mesh: Mesh, n_micro: int):
