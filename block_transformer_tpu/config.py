@@ -291,10 +291,13 @@ _BLOCK_MAIN = {
 
 _VANILLA = {
     # name -> (hidden, layers, heads) for the vanilla GPTNeoX baselines.
-    # vanilla_31 overrides hidden/layers on a pythia-410m base and therefore
-    # keeps its 16 heads (conf/trainer/vanilla_31.yaml, model/utils.py:58-84);
+    # vanilla_31 overrides hidden/layers/heads on a pythia-410m base —
+    # num_attention_heads is set EXPLICITLY to 8 in its model_config
+    # (conf/trainer/vanilla_31.yaml, applied via setattr in
+    # model/utils.py:73-81); round 1-2 of this build wrongly kept the
+    # base's 16 heads (head_dim 16 instead of 32);
     # the rest are stock pythia-{70,160,410}m-deduped shapes.
-    "vanilla_31": (256, 6, 16),
+    "vanilla_31": (256, 6, 8),
     "vanilla_70": (512, 6, 8),
     "vanilla_160": (768, 12, 12),
     "vanilla_410": (1024, 24, 16),
