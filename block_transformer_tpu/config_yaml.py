@@ -106,6 +106,28 @@ def load_block_config_yaml(path: str) -> BlockTransformerConfig:
     )
 
 
+def load_vanilla_config_yaml(path: str) -> NeoXConfig:
+    """Vanilla-baseline YAML (conf/trainer/vanilla_*.yaml schema:
+    ``model: gpt-neo-x`` + ``model_config`` overrides applied over the
+    autofill rules, the way model/utils.py:58-84 setattr's them onto the
+    base HF config) -> NeoXConfig."""
+    with open(path) as f:
+        y = yaml.safe_load(f)
+    assert y.get("model", "gpt-neo-x") == "gpt-neo-x", y.get("model")
+    c = y.get("model_config", {}) or {}
+    return NeoXConfig.from_hidden_layers(
+        hidden_size=c["hidden_size"],
+        num_layers=c["num_hidden_layers"],
+        vocab_size=c.get("vocab_size", 50304),
+        max_position_embeddings=c.get("max_position_embeddings",
+                                      y.get("max_length", 2048)),
+        num_heads=c.get("num_attention_heads"),
+        intermediate_size=c.get("intermediate_size"),
+        attn_impl="pallas" if y.get("attn_implementation") ==
+        "flash_attention_2" else "xla",
+    )
+
+
 def load_trainer_kwargs_yaml(path: str) -> dict:
     """Training hyperparameters from the same YAML -> TrainerConfig kwargs."""
     with open(path) as f:

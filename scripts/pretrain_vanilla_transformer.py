@@ -30,6 +30,8 @@ _maybe_force_cpu()
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="vanilla_31")
+    ap.add_argument("--config", default=None,
+                    help="reference-schema vanilla_*.yaml (overrides --model)")
     ap.add_argument("--pile", default=None)
     ap.add_argument("--synthetic", type=int, default=0)
     ap.add_argument("--steps", type=int, default=100)
@@ -45,7 +47,11 @@ def main():
     from block_transformer_tpu.train.trainer import TrainerConfig
     from block_transformer_tpu.train.vanilla_trainer import VanillaTrainer
 
-    cfg = get_vanilla_config(args.model)
+    if args.config:
+        from block_transformer_tpu.config_yaml import load_vanilla_config_yaml
+        cfg = load_vanilla_config_yaml(args.config)
+    else:
+        cfg = get_vanilla_config(args.model)
     if args.pile:
         from block_transformer_tpu.data.mmap_dataset import MMapIndexedDataset
         mm = MMapIndexedDataset(args.pile)
