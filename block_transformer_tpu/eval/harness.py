@@ -254,10 +254,15 @@ class PerplexityTask(Task):
 # ---------------------------------------------------------------------------
 
 def evaluate(lm: LM, tasks: Sequence[Task], limit: int = None,
-             verbose: bool = False) -> dict:
+             verbose: bool = False, return_per_doc: bool = False) -> dict:
     """Run all tasks: batch every loglikelihood request through the LM once
-    (length-sorted inside the adapter), then dispatch per-doc results."""
+    (length-sorted inside the adapter), then dispatch per-doc results.
+
+    ``return_per_doc`` additionally returns each task's per-document
+    metric dicts (callers slicing metrics by doc attributes, e.g. the
+    real-task fixtures' seen/holdout split)."""
     results = {}
+    per_doc_all = {}
     for task in tasks:
         docs = task.docs()
         if limit:
@@ -290,10 +295,14 @@ def evaluate(lm: LM, tasks: Sequence[Task], limit: int = None,
 
         per_doc = [task.process_results(doc, res)
                    for doc, res in zip(docs, per_doc_results)]
+        per_doc_all[task.name] = per_doc
         results[task.name] = task.aggregate(per_doc)
         if verbose:
             print(task.name, results[task.name])
-    return {"results": results}
+    out = {"results": results}
+    if return_per_doc:
+        out["per_doc"] = per_doc_all
+    return out
 
 
 def make_table(results: dict) -> str:

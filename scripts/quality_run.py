@@ -304,6 +304,9 @@ def main():
                     "on the TPU, then eval with --skip_train --cpu")
     ap.add_argument("--int4_group", type=int, default=128,
                     help="INT4 group size (input rows per scale)")
+    ap.add_argument("--block_only", action="store_true",
+                    help="train/eval only the block model (no vanilla "
+                    "baseline) — e.g. the pgbytes real-task model")
     args = ap.parse_args()
 
     import jax
@@ -326,9 +329,10 @@ def main():
         print("[quality] phase 1: train block_main_b4_5")
         train_block(args, cfg)
         print(f"[quality] block trained ({time.time()-t0:.0f}s)")
-        print("[quality] phase 2: train vanilla_31")
-        train_vanilla(args, vcfg)
-        print(f"[quality] vanilla trained ({time.time()-t0:.0f}s)")
+        if not args.block_only:
+            print("[quality] phase 2: train vanilla_31")
+            train_vanilla(args, vcfg)
+            print(f"[quality] vanilla trained ({time.time()-t0:.0f}s)")
     if args.train_only:
         print("[quality] --train_only: done")
         return
