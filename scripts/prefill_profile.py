@@ -106,6 +106,31 @@ def main():
     x_embeds = embed_fn(params, ids, att)
     timeit("block prefill (full)", block_prefill, params, x_embeds)
 
+    # 2b. same prefill with bf16 KV: the int8-vs-this delta is the cache
+    # quantize(+dequant-side-of-attention) cost.
+    if args.kv != "bf16":
+        saved_kv, args.kv = args.kv, "bf16"
+
+        @jax.jit
+        def block_prefill_bf16(p, x_embeds):
+            return block_prefill.__wrapped__(p, x_embeds)
+
+        timeit("block prefill (bf16 KV)", block_prefill_bf16,
+               params, x_embeds)
+        args.kv = saved_kv
+
+    # 2c. same prefill through the chunked online-softmax attention
+    # (the opt-in kernel, raced at this exact probe shape)
+    os.environ["BT_CHUNKED_PREFILL_ATTN"] = "1"
+
+    @jax.jit
+    def block_prefill_chunked(p, x_embeds):
+        return block_prefill.__wrapped__(p, x_embeds)
+
+    timeit("block prefill (chunked)", block_prefill_chunked,
+           params, x_embeds)
+    del os.environ["BT_CHUNKED_PREFILL_ATTN"]
+
     # 3. matmul floor: same 12 layers x (QKV, O, up, down) at the same M,
     # same quantized weights, chained (no attention / LN / rope / cache)
     bd = params["block_decoder"]["layers"]

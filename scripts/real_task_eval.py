@@ -41,6 +41,15 @@ def _maybe_force_cpu():
 
 _maybe_force_cpu()
 
+
+def _enable_compile_cache():
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+_enable_compile_cache()
+
 VOCAB = 512
 OFFSET = 3
 
