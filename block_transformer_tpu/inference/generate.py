@@ -236,6 +236,24 @@ def _block_decoder_step(params, cfg: BlockTransformerConfig, inputs_embeds,
     return hidden, cache, kv_valid
 
 
+def _fresh_prefill_enabled() -> bool:
+    """Fresh-KV single-pass prefill (BT_FRESH_PREFILL, default on).
+
+    Raced on chip 2026-08-20 (scripts/prefill_profile.py, b256 p2048
+    int8 weights+KV): fresh 1.422 s vs streaming 1.665 s (-15%) vs
+    chunked online-softmax 2.392 s vs fresh+Pallas-flash 1.688 s, over
+    a 0.588 s matmul floor — attending to the just-computed bf16 K/V
+    beats re-reading the (de)quantized cache chunk by chunk, and XLA's
+    fused attention beats both hand kernels at this shape. Prefill
+    attention also reads *unquantized* K/V, strictly reducing prefill
+    quantization error. Set BT_FRESH_PREFILL=0 for the round-2
+    streaming path (also used automatically for gpt-neo block decoders
+    and paged caches).
+    """
+    import os
+    return os.environ.get("BT_FRESH_PREFILL", "1") == "1"
+
+
 def prefill_blocks(params, cfg: BlockTransformerConfig, input_ids,
                    attention_mask, block_attention_mask, *, capacity: int,
                    kv_cache: str = "bf16", prefill_chunk_blocks: int = 128):
@@ -261,6 +279,20 @@ def prefill_blocks(params, cfg: BlockTransformerConfig, input_ids,
     prompt_valid = jnp.repeat(block_attention_mask.astype(jnp.int32), n, axis=1)
 
     S_total = N * n
+    if (_fresh_prefill_enabled() and cfg.block_decoder_cls != "gpt-neo"
+            and not isinstance(cache, neox.PagedKVCache)):
+        # single-pass fresh-KV prefill: attention reads the just-computed
+        # bf16 K/V (write-only quantized cache) — see neox_prefill_fresh
+        mask = masks.block_decode_mask(jnp.int32(0), S_total, S_total,
+                                       prompt_valid, n)
+        positions = jnp.arange(S_total, dtype=jnp.int32)
+        hidden, cache = neox.neox_prefill_fresh(
+            params["block_decoder"], inputs_embeds,
+            cfg=cfg.block_decoder, mask=mask, positions=positions,
+            cache=cache, q_tile=max(1, prefill_chunk_blocks) * n)
+        kv_valid = jax.lax.dynamic_update_slice(kv_valid, prompt_valid,
+                                                (0, 0))
+        return hidden[:, -n:, :], cache, kv_valid
     chunk_req = max(1, prefill_chunk_blocks) * n
     if S_total <= chunk_req:
         hidden, cache, kv_valid = _block_decoder_step(

@@ -529,6 +529,105 @@ def neox_stack(params, x, *, cfg: NeoXConfig, mask, positions,
     return h, new_cache
 
 
+def neox_prefill_fresh(params, x, *, cfg: NeoXConfig, mask, positions,
+                       cache, q_tile: int = 512):
+    """Prefill an EMPTY cache in one pass, attending to fresh bf16 K/V.
+
+    The streaming prefill (chunked caller around ``neox_stack``) reads the
+    whole quantized cache back every layer x chunk and dequantizes it to
+    bf16 — at b256 p2048 int8 that re-materialization is ~438 GB of HBM
+    traffic, ~1.1 s, i.e. most of the 64% non-matmul prefill share
+    measured by scripts/prefill_profile.py. Here each layer's attention
+    consumes the K/V it just computed (bf16; the cache is write-only
+    during prefill), so prompt attention reads *unquantized* K/V —
+    strictly less quantization error than the streaming path — and the
+    cache costs one int8/int4 write per layer.
+
+    Queries are tiled (``q_tile`` rows per step, scan) against the full
+    fresh K/V so transient attention buffers match the streaming path's;
+    K/V themselves are one [B, H, S, D] bf16 transient per layer — the
+    same size as the streaming path's dequantized k_all/v_all.
+
+    Requires ``S % q_tile == 0`` or S <= q_tile (caller pads blocks).
+    ``mask`` covers the full [S, S] prompt (block-causal); tiles slice its
+    q_idx rows. Returns (hidden [B, S, h] final-normed, filled cache with
+    length = S).
+    """
+    from block_transformer_tpu.ops import masks as masks_lib
+
+    B, S, _ = x.shape
+    max_pos = max(cfg.max_position_embeddings, cache.k.shape[3])
+    cos, sin = rope_tables(cfg, max_pos)
+    layers = params["layers"]
+    quant = isinstance(cache, QuantKVCache)
+    kv_dtype = cache.k.dtype
+
+    if S <= q_tile:
+        tiles = 1
+    else:
+        # largest divisor of S that is <= q_tile (S is static)
+        tq_d = max(d for d in range(1, q_tile + 1) if S % d == 0)
+        tiles = S // tq_d
+    tq = S // tiles
+    q_idx_full = mask.q_idx if mask.q_idx.ndim == 1 else None
+    assert q_idx_full is not None, "fresh prefill expects unbatched q_idx"
+
+    def attn_tiles(q, k, v):
+        if tiles == 1:
+            return _attention(q, k, v, mask, cfg.attn_impl)
+
+        def tile_body(_, t):
+            q_t = jax.lax.dynamic_slice_in_dim(q, t * tq, tq, axis=2)
+            m_t = masks_lib.AttnMask(
+                jax.lax.dynamic_slice_in_dim(q_idx_full, t * tq, tq, 0),
+                mask.kv_idx, mask.kv_valid)
+            return None, _attention(q_t, k, v, m_t, cfg.attn_impl)
+
+        _, out = jax.lax.scan(tile_body, None,
+                              jnp.arange(tiles, dtype=jnp.int32))
+        # out: [tiles, B, H, tq, D] -> [B, H, S, D]
+        return out.transpose(1, 2, 0, 3, 4).reshape(*q.shape)
+
+    if quant:
+        def body(carry, i):
+            h, ck, cv, cks, cvs = carry
+            p = layer_view(layers, i)
+            q, k, v = layer_qkv(p, h, cfg=cfg, cos=cos, sin=sin,
+                                positions=positions)
+            kq, ks = quantize_kv(k, kv_dtype)
+            vq, vs = quantize_kv(v, kv_dtype)
+            ck = _write_kv(ck, kq, i, jnp.int32(0))
+            cv = _write_kv(cv, vq, i, jnp.int32(0))
+            cks = _write_kv(cks, ks, i, jnp.int32(0))
+            cvs = _write_kv(cvs, vs, i, jnp.int32(0))
+            attn = attn_tiles(q, k, v)
+            h = layer_finish(p, h, attn, cfg=cfg)
+            return (h, ck, cv, cks, cvs), None
+
+        idx = jnp.arange(cfg.num_layers, dtype=jnp.int32)
+        (h, nk, nv, nks, nvs), _ = jax.lax.scan(
+            body, (x, cache.k, cache.v, cache.k_scale, cache.v_scale), idx)
+        new_cache = QuantKVCache(nk, nv, nks, nvs, jnp.int32(S))
+    else:
+        def body(carry, i):
+            h, ck, cv = carry
+            p = layer_view(layers, i)
+            q, k, v = layer_qkv(p, h, cfg=cfg, cos=cos, sin=sin,
+                                positions=positions)
+            ck = _write_kv(ck, k, i, jnp.int32(0))
+            cv = _write_kv(cv, v, i, jnp.int32(0))
+            attn = attn_tiles(q, k, v)
+            h = layer_finish(p, h, attn, cfg=cfg)
+            return (h, ck, cv), None
+
+        idx = jnp.arange(cfg.num_layers, dtype=jnp.int32)
+        (h, nk, nv), _ = jax.lax.scan(body, (x, cache.k, cache.v), idx)
+        new_cache = KVCache(nk, nv, jnp.int32(S))
+
+    h = layer_norm(h, params["final_ln"], cfg.layer_norm_eps)
+    return h, new_cache
+
+
 def embed_tokens(params, input_ids):
     return params["embed_in"]["weight"][input_ids]
 

@@ -108,8 +108,12 @@ def _use_chunked(Q: int, K: int) -> bool:
     Q >= 64 rows with enough K tiles to amortize the rescale — decode
     shapes keep the direct form. Raced on chip at the b384 default
     operating point: 9,997 vs 12,769 tok/s (-22%, BENCH_DETAIL_chunked),
-    so it stays opt-in (BT_CHUNKED_PREFILL_ATTN=1); its value is score-
-    buffer memory headroom at prefill lengths past p2048, not speed."""
+    and again at the isolated prefill probe shape (b256 p2048:
+    2.392 s vs 1.665 s streaming / 1.422 s fresh — scripts/
+    prefill_profile.py, 2026-08-20): the per-tile rescale traffic costs
+    more than score fusion saves, so it stays opt-in
+    (BT_CHUNKED_PREFILL_ATTN=1); its value is score-buffer memory
+    headroom at prefill lengths past p2048, not speed."""
     import os
     if os.environ.get("BT_CHUNKED_PREFILL_ATTN", "0") != "1":
         return False

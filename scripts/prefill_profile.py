@@ -106,19 +106,6 @@ def main():
     x_embeds = embed_fn(params, ids, att)
     timeit("block prefill (full)", block_prefill, params, x_embeds)
 
-    # 2b. same prefill with bf16 KV: the int8-vs-this delta is the cache
-    # quantize(+dequant-side-of-attention) cost.
-    if args.kv != "bf16":
-        saved_kv, args.kv = args.kv, "bf16"
-
-        @jax.jit
-        def block_prefill_bf16(p, x_embeds):
-            return block_prefill.__wrapped__(p, x_embeds)
-
-        timeit("block prefill (bf16 KV)", block_prefill_bf16,
-               params, x_embeds)
-        args.kv = saved_kv
-
     # 2c. same prefill through the chunked online-softmax attention
     # (the opt-in kernel, raced at this exact probe shape)
     os.environ["BT_CHUNKED_PREFILL_ATTN"] = "1"
@@ -130,6 +117,72 @@ def main():
     timeit("block prefill (chunked)", block_prefill_chunked,
            params, x_embeds)
     del os.environ["BT_CHUNKED_PREFILL_ATTN"]
+
+    # 2d. fresh-KV single-pass prefill (neox_prefill_fresh): attention
+    # reads the just-computed bf16 K/V; the cache is write-only.
+    from block_transformer_tpu.ops import masks as masks_mod
+
+    @jax.jit
+    def block_prefill_fresh(p, x_embeds):
+        cache = neox.make_kv_cache(cfg.block_decoder, B, capacity, args.kv,
+                                   dtype=dtype)
+        x_pad = x_embeds.reshape(B, S_total, ph)
+        pv = jnp.ones((B, S_total), jnp.int32)
+        mask = masks_mod.block_decode_mask(jnp.int32(0), S_total, S_total,
+                                           pv, n)
+        positions = jnp.arange(S_total, dtype=jnp.int32)
+        h, cache = neox.neox_prefill_fresh(
+            p["block_decoder"], x_pad, cfg=cfg.block_decoder, mask=mask,
+            positions=positions, cache=cache, q_tile=chunk)
+        return h[:, -1, :1]
+
+    timeit("block prefill (fresh)", block_prefill_fresh, params, x_embeds)
+
+    # 2e. fresh prefill + Pallas flash attention: skips masked
+    # block-causal K tiles (~half the dots) and avoids XLA's softmax
+    # recompute passes.
+    import dataclasses
+    bd_cfg_pallas = dataclasses.replace(cfg.block_decoder,
+                                        attn_impl="pallas")
+
+    @jax.jit
+    def block_prefill_fresh_pallas(p, x_embeds):
+        cache = neox.make_kv_cache(cfg.block_decoder, B, capacity, args.kv,
+                                   dtype=dtype)
+        x_pad = x_embeds.reshape(B, S_total, ph)
+        pv = jnp.ones((B, S_total), jnp.int32)
+        mask = masks_mod.block_decode_mask(jnp.int32(0), S_total, S_total,
+                                           pv, n)
+        positions = jnp.arange(S_total, dtype=jnp.int32)
+        h, cache = neox.neox_prefill_fresh(
+            p["block_decoder"], x_pad, cfg=bd_cfg_pallas, mask=mask,
+            positions=positions, cache=cache, q_tile=chunk)
+        return h[:, -1, :1]
+
+    try:
+        timeit("block prefill (fresh+flash)", block_prefill_fresh_pallas,
+               params, x_embeds)
+    except Exception as e:
+        print(f"block prefill (fresh+flash) failed: "
+              f"{str(e).splitlines()[0][:120]}")
+
+    # 2b (last — OOMs at b256: the bf16 cache alone is ~15 GB). The
+    # int8-vs-bf16-KV delta isolates the cache quantize/dequant cost;
+    # measurable at --batch 128.
+    if args.kv != "bf16":
+        saved_kv, args.kv = args.kv, "bf16"
+
+        @jax.jit
+        def block_prefill_bf16(p, x_embeds):
+            return block_prefill.__wrapped__(p, x_embeds)
+
+        try:
+            timeit("block prefill (bf16 KV)", block_prefill_bf16,
+                   params, x_embeds)
+        except Exception as e:
+            print(f"block prefill (bf16 KV) skipped: "
+                  f"{str(e).splitlines()[0][:120]}")
+        args.kv = saved_kv
 
     # 3. matmul floor: same 12 layers x (QKV, O, up, down) at the same M,
     # same quantized weights, chained (no attention / LN / rope / cache)

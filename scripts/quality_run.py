@@ -390,6 +390,9 @@ def main():
                                             token_decoder_bits=4,
                                             lm_head_bits=8,
                                             group_size=args.int4_group)
+    # the QUALITY.md gate-passing INT4 recipe: g32 groups + INT8 LM head
+    q4_gate = quant.quantize_block_transformer(block_params, bits=4,
+                                               lm_head_bits=8, group_size=32)
 
     results = {"steps": args.steps, "batch": args.batch,
                "max_length": args.max_length,
@@ -406,6 +409,8 @@ def main():
                                         args.eval_batch),
         "block_mixed48": heldout_ppl_block(qmix, cfg, ds_hold_block, n,
                                            args.eval_batch),
+        "block_int4_gate": heldout_ppl_block(q4_gate, cfg, ds_hold_block, n,
+                                             args.eval_batch),
         "vanilla_fp32": heldout_ppl_vanilla(van_params, vcfg, ds_hold_van, n,
                                             args.eval_batch),
     }
@@ -414,6 +419,8 @@ def main():
     results["ppl"]["int4_delta_pct"] = 100 * (results["ppl"]["block_int4"] - fp) / fp
     results["ppl"]["mixed48_delta_pct"] = 100 * (
         results["ppl"]["block_mixed48"] - fp) / fp
+    results["ppl"]["int4_gate_delta_pct"] = 100 * (
+        results["ppl"]["block_int4_gate"] - fp) / fp
     print(json.dumps(results["ppl"], indent=2))
 
     print("[quality] phase 4: harness tasks")
@@ -466,13 +473,22 @@ def write_report(args, r):
         f"| block_main_b4_5 fp32 | {p['block_fp32']:.4f} | — |",
         f"| block_main_b4_5 INT8 weights | {p['block_int8']:.4f} | "
         f"{p['int8_delta_pct']:+.3f}% |",
-        f"| block_main_b4_5 INT4 weights | {p['block_int4']:.4f} | "
-        f"{p['int4_delta_pct']:+.3f}% |",
+        f"| block_main_b4_5 INT4 weights (g{args.int4_group}) | "
+        f"{p['block_int4']:.4f} | {p['int4_delta_pct']:+.3f}% |",
+        f"| block_main_b4_5 INT4 gate recipe (g32 + INT8 head) | "
+        f"{p.get('block_int4_gate', float('nan')):.4f} | "
+        f"{p.get('int4_gate_delta_pct', float('nan')):+.3f}% |",
+        f"| block_main_b4_5 mixed48 (block int8 + token int4 + head int8) | "
+        f"{p.get('block_mixed48', float('nan')):.4f} | "
+        f"{p.get('mixed48_delta_pct', float('nan')):+.3f}% |",
         f"| vanilla_31 fp32 | {p['vanilla_fp32']:.4f} | (baseline pairing) |",
         "",
         f"INT8 gate (<=0.5%): {'PASS' if abs(p['int8_delta_pct']) <= 0.5 else 'FAIL'}; "
-        f"INT4: {'PASS' if abs(p['int4_delta_pct']) <= 0.5 else 'FAIL'} "
-        f"({p['int4_delta_pct']:+.3f}%).",
+        f"INT4 g{args.int4_group}: "
+        f"{'PASS' if abs(p['int4_delta_pct']) <= 0.5 else 'FAIL'} "
+        f"({p['int4_delta_pct']:+.3f}%); INT4 gate recipe: "
+        f"{'PASS' if abs(p.get('int4_gate_delta_pct', 9)) <= 0.5 else 'FAIL'} "
+        f"({p.get('int4_gate_delta_pct', float('nan')):+.3f}%).",
         "",
         "## Harness tasks (byte-level analogues, full adapter path)",
         "",
