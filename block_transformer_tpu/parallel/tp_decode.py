@@ -246,12 +246,23 @@ def _bias_of(node: dict, i):
 
 
 def _tp_stack(params, x, *, cfg: NeoXConfig, tp: int, mask, positions,
-              cache, write_pos, axis: str = "model"):
+              cache, write_pos, axis: str = "model", fresh: bool = False):
     """Cached decode stack on local shards; one psum('model') per layer.
 
     params: LOCAL shards laid out per tp_param_specs. x replicated over
     the model axis ([B_local, S, hidden]). cache: local
     [L, B_local, H_local, cap, D] (+scales for QuantKVCache).
+
+    ``fresh=True`` is the prefill-from-empty-cache fast path (mirrors
+    models/neox.neox_prefill_fresh, -15% prefill on chip): attention
+    consumes the just-computed bf16 local K/V instead of re-reading the
+    (de)quantized cache; the cache is write-only. Attention is per-head
+    independent, so this is the same math as the single-device fresh
+    path on each shard's heads — TP decode stays token-exact vs the
+    single-device generator with both defaults aligned. Only valid when
+    the attended keys are exactly the S being written (empty cache /
+    freshly reset engine slots) — ``mask`` must span S keys, not
+    capacity.
     """
     lcfg = _local_cfg(cfg, tp)
     cos, sin = neox.rope_tables(cfg, max(cfg.max_position_embeddings,
@@ -275,7 +286,9 @@ def _tp_stack(params, x, *, cfg: NeoXConfig, tp: int, mask, positions,
             cv = neox._write_kv(cv, vq, i, write_pos)
             cks = neox._write_kv(cks, ks, i, write_pos)
             cvs = neox._write_kv(cvs, vs, i, write_pos)
-            if use_fused:
+            if fresh:
+                attn = neox._attention(q, k, v, mask, cfg.attn_impl)
+            elif use_fused:
                 from block_transformer_tpu.ops import decode_attention
                 attn = decode_attention.decode_attention_int8_stacked(
                     q, ck, cks, cv, cvs, i, mask)
@@ -292,10 +305,14 @@ def _tp_stack(params, x, *, cfg: NeoXConfig, tp: int, mask, positions,
         else:
             ck = neox._write_kv(ck, k, i, write_pos)
             cv = neox._write_kv(cv, v, i, write_pos)
-            k_all = jax.lax.dynamic_index_in_dim(ck, i, 0, False)
-            v_all = jax.lax.dynamic_index_in_dim(cv, i, 0, False)
-            attn = neox._attention(q, k_all.astype(q.dtype),
-                                   v_all.astype(q.dtype), mask, cfg.attn_impl)
+            if fresh:
+                attn = neox._attention(q, k, v, mask, cfg.attn_impl)
+            else:
+                k_all = jax.lax.dynamic_index_in_dim(ck, i, 0, False)
+                v_all = jax.lax.dynamic_index_in_dim(cv, i, 0, False)
+                attn = neox._attention(q, k_all.astype(q.dtype),
+                                       v_all.astype(q.dtype), mask,
+                                       cfg.attn_impl)
 
         B, S = h.shape[0], h.shape[1]
         a_flat = attn.transpose(0, 2, 1, 3).reshape(B, S, -1)
@@ -533,8 +550,24 @@ def make_tp_generate_blocks(mesh, cfg: BlockTransformerConfig, params_tree,
                                      capacity, dtype=x.dtype)
             kv_valid = jnp.zeros((Bs, capacity), jnp.int32)
             prompt_valid = jnp.repeat(bam_s.astype(jnp.int32), n, axis=1)
-            hidden, cache, kv_valid = block_step(x, cache, kv_valid,
-                                                 prompt_valid)
+            from block_transformer_tpu.inference.generate import (
+                _fresh_prefill_enabled)
+            if _fresh_prefill_enabled():
+                # fresh-KV prefill — same default + per-head math as the
+                # single-device generator, so TP stays token-exact vs it
+                S = N * n
+                fmask = masks.block_decode_mask(jnp.int32(0), S, S,
+                                                prompt_valid, n)
+                fpos = jnp.arange(S, dtype=jnp.int32)
+                hidden, cache = _tp_stack(
+                    params["block_decoder"], x, cfg=cfg.block_decoder,
+                    tp=tp, mask=fmask, positions=fpos, cache=cache,
+                    write_pos=jnp.int32(0), fresh=True)
+                kv_valid = jax.lax.dynamic_update_slice(
+                    kv_valid, prompt_valid, (0, 0))
+            else:
+                hidden, cache, kv_valid = block_step(x, cache, kv_valid,
+                                                     prompt_valid)
             tokens = jnp.zeros((Bs, max_blocks, L), jnp.int32)
             tokens = jax.lax.dynamic_update_slice(
                 tokens, ids_s.astype(jnp.int32), (0, 0, 0))
