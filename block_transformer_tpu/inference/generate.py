@@ -256,7 +256,8 @@ def _fresh_prefill_enabled() -> bool:
 
 def prefill_blocks(params, cfg: BlockTransformerConfig, input_ids,
                    attention_mask, block_attention_mask, *, capacity: int,
-                   kv_cache: str = "bf16", prefill_chunk_blocks: int = 128):
+                   kv_cache: str = "bf16", prefill_chunk_blocks: int = 128,
+                   fresh_prefill: bool | None = None):
     """Generation prefill: embed the prompt blocks and stream them through
     the block decoder. Returns ``(next_embeds [B, n, ph], cache, kv_valid)``
     positioned at the last real prompt block.
@@ -279,7 +280,11 @@ def prefill_blocks(params, cfg: BlockTransformerConfig, input_ids,
     prompt_valid = jnp.repeat(block_attention_mask.astype(jnp.int32), n, axis=1)
 
     S_total = N * n
-    if (_fresh_prefill_enabled() and cfg.block_decoder_cls != "gpt-neo"
+    if fresh_prefill is None:
+        # direct (non-jitted) callers: resolve the env default here; jitted
+        # callers must pass the resolved flag so it keys the jit cache
+        fresh_prefill = _fresh_prefill_enabled()
+    if (fresh_prefill and cfg.block_decoder_cls != "gpt-neo"
             and not isinstance(cache, neox.PagedKVCache)):
         # single-pass fresh-KV prefill: attention reads the just-computed
         # bf16 K/V (write-only quantized cache) — see neox_prefill_fresh
@@ -335,20 +340,43 @@ def prefill_blocks(params, cfg: BlockTransformerConfig, input_ids,
     return next_embeds, cache, kv_valid
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "max_blocks", "greedy",
-                                             "temperature", "top_k", "top_p",
-                                             "prefill_chunk_blocks",
-                                             "kv_cache"))
 def generate_blocks(params, cfg: BlockTransformerConfig, input_ids,
                     attention_mask, block_attention_mask, *, max_blocks: int,
                     greedy: bool = True, temperature: float = 1.0,
                     top_k: int = 0, top_p: float = 1.0,
                     key=None, prefill_chunk_blocks: int = 128,
-                    kv_cache: str = "bf16") -> GenerationResult:
+                    kv_cache: str = "bf16",
+                    fresh_prefill: bool | None = None) -> GenerationResult:
     """Block-format generation: input_ids/attention_mask [B, N, L],
     block_attention_mask [B, N]; generates until ``max_blocks`` total blocks
     or all sequences finish. Fully jitted; one trace per (B, N, max_blocks).
+
+    ``fresh_prefill=None`` resolves BT_FRESH_PREFILL at *call* time and
+    passes it as a static jit argument, so flipping the env var within a
+    process retraces instead of silently reusing the cached path.
     """
+    if fresh_prefill is None:
+        fresh_prefill = _fresh_prefill_enabled()
+    return _generate_blocks_jit(
+        params, cfg, input_ids, attention_mask, block_attention_mask,
+        max_blocks=max_blocks, greedy=greedy, temperature=temperature,
+        top_k=top_k, top_p=top_p, key=key,
+        prefill_chunk_blocks=prefill_chunk_blocks, kv_cache=kv_cache,
+        fresh_prefill=bool(fresh_prefill))
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "max_blocks", "greedy",
+                                             "temperature", "top_k", "top_p",
+                                             "prefill_chunk_blocks",
+                                             "kv_cache", "fresh_prefill"))
+def _generate_blocks_jit(params, cfg: BlockTransformerConfig, input_ids,
+                         attention_mask, block_attention_mask, *,
+                         max_blocks: int, greedy: bool = True,
+                         temperature: float = 1.0,
+                         top_k: int = 0, top_p: float = 1.0,
+                         key=None, prefill_chunk_blocks: int = 128,
+                         kv_cache: str = "bf16",
+                         fresh_prefill: bool = True) -> GenerationResult:
     B, N, L = input_ids.shape
     n = cfg.n_embedding_tokens
     ph = cfg.embedder.projection_hidden_size
@@ -367,7 +395,8 @@ def generate_blocks(params, cfg: BlockTransformerConfig, input_ids,
     next_embeds, cache, kv_valid = prefill_blocks(
         params, cfg, input_ids, attention_mask, block_attention_mask,
         capacity=capacity, kv_cache=kv_cache,
-        prefill_chunk_blocks=prefill_chunk_blocks)
+        prefill_chunk_blocks=prefill_chunk_blocks,
+        fresh_prefill=fresh_prefill)
 
     tokens = jnp.zeros((B, max_blocks, L), jnp.int32)
     tokens = jax.lax.dynamic_update_slice(tokens, input_ids.astype(jnp.int32),

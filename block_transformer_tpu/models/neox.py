@@ -529,6 +529,57 @@ def neox_stack(params, x, *, cfg: NeoXConfig, mask, positions,
     return h, new_cache
 
 
+def fresh_attn_tiles(mask, S: int, q_tile: int, attn_impl):
+    """Build the q-tiled full-K attention closure for fresh prefill.
+
+    Returns ``attn_tiles(q, k, v) -> [B, H, S, D]`` that scans ``q_tile``
+    query rows at a time against the full fresh K/V, bounding transient
+    score buffers at [B, H, q_tile, S]. Any static S works: when
+    ``S % q_tile != 0`` the query rows are padded up to the next q_tile
+    multiple (padded rows reuse the last real q_idx mask row and are
+    sliced off the output) — never degraded to tiny divisor tiles, which
+    for a prime-ish S would silently scan hundreds of few-row attentions
+    per layer. Shared by the single-device fresh prefill and the TP
+    shard_map fresh branch (attention is per-head independent, so the
+    same closure is exact on each shard's local heads).
+    """
+    from block_transformer_tpu.ops import masks as masks_lib
+
+    tq = min(q_tile, S)
+    tiles = -(-S // tq)          # ceil
+    pad_q = tiles * tq - S
+    q_idx_full = mask.q_idx if mask.q_idx.ndim == 1 else None
+    assert q_idx_full is not None, "fresh prefill expects unbatched q_idx"
+    q_idx_pad = q_idx_full
+    if pad_q:
+        q_idx_pad = jnp.concatenate(
+            [q_idx_full, jnp.broadcast_to(q_idx_full[-1:], (pad_q,))])
+
+    def attn_tiles(q, k, v):
+        if tiles == 1:
+            return _attention(q, k, v, mask, attn_impl)
+        if pad_q:
+            q = jnp.concatenate(
+                [q, jnp.zeros((*q.shape[:2], pad_q, q.shape[3]), q.dtype)],
+                axis=2)
+
+        def tile_body(_, t):
+            q_t = jax.lax.dynamic_slice_in_dim(q, t * tq, tq, axis=2)
+            m_t = masks_lib.AttnMask(
+                jax.lax.dynamic_slice_in_dim(q_idx_pad, t * tq, tq, 0),
+                mask.kv_idx, mask.kv_valid)
+            return None, _attention(q_t, k, v, m_t, attn_impl)
+
+        _, out = jax.lax.scan(tile_body, None,
+                              jnp.arange(tiles, dtype=jnp.int32))
+        # out: [tiles, B, H, tq, D] -> [B, H, tiles*tq, D] -> [:, :, :S]
+        out = out.transpose(1, 2, 0, 3, 4).reshape(
+            q.shape[0], q.shape[1], tiles * tq, q.shape[3])
+        return out[:, :, :S] if pad_q else out
+
+    return attn_tiles
+
+
 def neox_prefill_fresh(params, x, *, cfg: NeoXConfig, mask, positions,
                        cache, q_tile: int = 512):
     """Prefill an EMPTY cache in one pass, attending to fresh bf16 K/V.
@@ -548,13 +599,15 @@ def neox_prefill_fresh(params, x, *, cfg: NeoXConfig, mask, positions,
     K/V themselves are one [B, H, S, D] bf16 transient per layer — the
     same size as the streaming path's dequantized k_all/v_all.
 
-    Requires ``S % q_tile == 0`` or S <= q_tile (caller pads blocks).
+    Any static S works: when ``S % q_tile != 0`` the query rows are padded
+    up to the next q_tile multiple (padded rows reuse the last real q_idx
+    mask row and are sliced off the output) — never degraded to tiny
+    divisor tiles, which for a prime-ish S would silently scan hundreds
+    of few-row attentions per layer.
     ``mask`` covers the full [S, S] prompt (block-causal); tiles slice its
     q_idx rows. Returns (hidden [B, S, h] final-normed, filled cache with
     length = S).
     """
-    from block_transformer_tpu.ops import masks as masks_lib
-
     B, S, _ = x.shape
     max_pos = max(cfg.max_position_embeddings, cache.k.shape[3])
     cos, sin = rope_tables(cfg, max_pos)
@@ -562,31 +615,7 @@ def neox_prefill_fresh(params, x, *, cfg: NeoXConfig, mask, positions,
     quant = isinstance(cache, QuantKVCache)
     kv_dtype = cache.k.dtype
 
-    if S <= q_tile:
-        tiles = 1
-    else:
-        # largest divisor of S that is <= q_tile (S is static)
-        tq_d = max(d for d in range(1, q_tile + 1) if S % d == 0)
-        tiles = S // tq_d
-    tq = S // tiles
-    q_idx_full = mask.q_idx if mask.q_idx.ndim == 1 else None
-    assert q_idx_full is not None, "fresh prefill expects unbatched q_idx"
-
-    def attn_tiles(q, k, v):
-        if tiles == 1:
-            return _attention(q, k, v, mask, cfg.attn_impl)
-
-        def tile_body(_, t):
-            q_t = jax.lax.dynamic_slice_in_dim(q, t * tq, tq, axis=2)
-            m_t = masks_lib.AttnMask(
-                jax.lax.dynamic_slice_in_dim(q_idx_full, t * tq, tq, 0),
-                mask.kv_idx, mask.kv_valid)
-            return None, _attention(q_t, k, v, m_t, cfg.attn_impl)
-
-        _, out = jax.lax.scan(tile_body, None,
-                              jnp.arange(tiles, dtype=jnp.int32))
-        # out: [tiles, B, H, tq, D] -> [B, H, S, D]
-        return out.transpose(1, 2, 0, 3, 4).reshape(*q.shape)
+    attn_tiles = fresh_attn_tiles(mask, S, q_tile, cfg.attn_impl)
 
     if quant:
         def body(carry, i):

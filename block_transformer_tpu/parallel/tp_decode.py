@@ -246,7 +246,8 @@ def _bias_of(node: dict, i):
 
 
 def _tp_stack(params, x, *, cfg: NeoXConfig, tp: int, mask, positions,
-              cache, write_pos, axis: str = "model", fresh: bool = False):
+              cache, write_pos, axis: str = "model", fresh: bool = False,
+              q_tile: int = 512):
     """Cached decode stack on local shards; one psum('model') per layer.
 
     params: LOCAL shards laid out per tp_param_specs. x replicated over
@@ -270,6 +271,12 @@ def _tp_stack(params, x, *, cfg: NeoXConfig, tp: int, mask, positions,
     layers = params["layers"]
     quantized = isinstance(cache, neox.QuantKVCache)
     use_fused = neox._fused_kv_attn_enabled(x.shape[1])
+    if fresh:
+        # q-tiled fresh attention (same closure as the single-device fresh
+        # prefill): bounds the per-layer transient score buffer at
+        # [B, H_local, q_tile, S] instead of one untiled S x S pass
+        fresh_attn = neox.fresh_attn_tiles(mask, x.shape[1], q_tile,
+                                           cfg.attn_impl)
 
     def body(carry, i):
         if quantized:
@@ -287,7 +294,7 @@ def _tp_stack(params, x, *, cfg: NeoXConfig, tp: int, mask, positions,
             cks = neox._write_kv(cks, ks, i, write_pos)
             cvs = neox._write_kv(cvs, vs, i, write_pos)
             if fresh:
-                attn = neox._attention(q, k, v, mask, cfg.attn_impl)
+                attn = fresh_attn(q, k, v)
             elif use_fused:
                 from block_transformer_tpu.ops import decode_attention
                 attn = decode_attention.decode_attention_int8_stacked(
@@ -306,7 +313,7 @@ def _tp_stack(params, x, *, cfg: NeoXConfig, tp: int, mask, positions,
             ck = neox._write_kv(ck, k, i, write_pos)
             cv = neox._write_kv(cv, v, i, write_pos)
             if fresh:
-                attn = neox._attention(q, k, v, mask, cfg.attn_impl)
+                attn = fresh_attn(q, k, v)
             else:
                 k_all = jax.lax.dynamic_index_in_dim(ck, i, 0, False)
                 v_all = jax.lax.dynamic_index_in_dim(cv, i, 0, False)
@@ -510,6 +517,11 @@ def make_tp_generate_blocks(mesh, cfg: BlockTransformerConfig, params_tree,
     single-chain schedule.
     """
     assert overlap_streams in (1, 2), overlap_streams
+    # resolve BT_FRESH_PREFILL at BUILD time (not trace time) so the flag
+    # is baked into this program; flipping the env var later requires
+    # rebuilding, never silently reuses a stale trace
+    from block_transformer_tpu.inference.generate import _fresh_prefill_enabled
+    fresh_prefill = _fresh_prefill_enabled()
     tp = int(mesh.shape["model"])
     data_axes = tuple(a for a in mesh.axis_names if a != "model")
     n = cfg.n_embedding_tokens
@@ -550,9 +562,7 @@ def make_tp_generate_blocks(mesh, cfg: BlockTransformerConfig, params_tree,
                                      capacity, dtype=x.dtype)
             kv_valid = jnp.zeros((Bs, capacity), jnp.int32)
             prompt_valid = jnp.repeat(bam_s.astype(jnp.int32), n, axis=1)
-            from block_transformer_tpu.inference.generate import (
-                _fresh_prefill_enabled)
-            if _fresh_prefill_enabled():
+            if fresh_prefill:
                 # fresh-KV prefill — same default + per-head math as the
                 # single-device generator, so TP stays token-exact vs it
                 S = N * n

@@ -47,10 +47,11 @@ def main():
     if args.meta and os.path.exists(args.meta):
         with open(args.meta) as f:
             meta = json.load(f)
-        if meta.get("holdout_essays") != holdout_names:
+        meta_holdout = meta.get("holdout_essays")
+        if meta_holdout != holdout_names:
             raise SystemExit(
                 f"holdout mismatch vs {args.meta}: corpus would train on "
-                f"fixture eval essays.\n fixtures: {meta['holdout_essays']}"
+                f"fixture eval essays.\n fixtures: {meta_holdout}"
                 f"\n corpus:   {holdout_names}")
 
     train_docs, holdout_docs = [], []

@@ -23,15 +23,13 @@ from block_transformer_tpu.inference import generate as gen
 
 def _run(params, cfg, args, fresh: bool, kv_cache: str, monkeypatch,
          chunk_blocks=4, max_blocks=None):
+    # the env var resolves at call time into a static jit argument, so no
+    # clear_cache dance is needed — each flag value has its own trace
     monkeypatch.setenv("BT_FRESH_PREFILL", "1" if fresh else "0")
-    gen.generate_blocks.clear_cache()   # env is read at trace time
-    try:
-        return gen.generate_blocks(params, cfg, *args,
-                                   max_blocks=max_blocks,
-                                   prefill_chunk_blocks=chunk_blocks,
-                                   kv_cache=kv_cache, greedy=True)
-    finally:
-        gen.generate_blocks.clear_cache()
+    return gen.generate_blocks(params, cfg, *args,
+                               max_blocks=max_blocks,
+                               prefill_chunk_blocks=chunk_blocks,
+                               kv_cache=kv_cache, greedy=True)
 
 
 @pytest.fixture(scope="module")
@@ -64,7 +62,7 @@ def test_fresh_tiling_matches_single_shot(setup, monkeypatch):
     a = _run(params, cfg, args, True, "int8", monkeypatch,
              chunk_blocks=512, max_blocks=N + 3)
     b = _run(params, cfg, args, True, "int8", monkeypatch,
-             chunk_blocks=5, max_blocks=N + 3)   # non-divisor: falls to 4
+             chunk_blocks=5, max_blocks=N + 3)   # non-divisor: pads q rows
     np.testing.assert_array_equal(np.asarray(a.tokens), np.asarray(b.tokens))
 
 
