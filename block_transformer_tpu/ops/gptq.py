@@ -16,9 +16,10 @@ Two deliberate design constraints:
    contiguous group-wise scales [G, N] (and ``quantize_int8``'s
    per-channel [N]), so the fused Pallas dequant-matmul kernel and every
    dispatch rule in ops/linear.py consume GPTQ-packed weights with zero
-   changes — only the packing-time *rounding* differs. This is also why
-   there is no act-order permutation: reordered rows would scatter the
-   group structure the kernel tiles on.
+   changes — only the packing-time *rounding* differs. Act-order (rows
+   processed by descending Hessian diagonal) therefore uses STATIC group
+   scales and un-permutes Q at the end, so the contiguous group structure
+   the kernel tiles on is preserved.
 2. **Sequential propagation.** Layers are calibrated in forward order
    and each layer's Hessian is accumulated from activations produced by
    the *already-quantized* earlier layers (the full GPTQ pipeline), so
@@ -49,7 +50,7 @@ from block_transformer_tpu.ops import quant
 # ---------------------------------------------------------------------------
 
 def gptq_round(W, H, *, bits: int = 4, group_size: int = 128,
-               damp: float = 0.01):
+               damp: float = 0.01, act_order: bool = False):
     """GPTQ rounding of ``W [K, N]`` against input Gram ``H [K, K]``.
 
     Returns ``(Q int32 [K, N], scale fp32 [G, N])`` for bits=4 (grid
@@ -57,10 +58,18 @@ def gptq_round(W, H, *, bits: int = 4, group_size: int = 128,
     structure as quant.quantize_int4) or ``(Q, scale [N])`` for bits=8
     (per-channel, same as quant.quantize_int8).
 
-    Group scales are computed when the row sweep *enters* each group,
-    from the error-compensated (current) weights — the standard GPTQ
-    group treatment; the processing block size equals the group size so
-    every row a scale covers is up to date when the scale is taken.
+    Without ``act_order``, group scales are computed when the row sweep
+    *enters* each group, from the error-compensated (current) weights —
+    the standard GPTQ group treatment; the processing block size equals
+    the group size so every row a scale covers is up to date when the
+    scale is taken.
+
+    ``act_order=True`` processes rows by descending Hessian diagonal
+    (most-activated inputs rounded first, while the most compensation
+    freedom remains) with STATIC group scales precomputed from the
+    original weights per contiguous row group — so ``Q`` is un-permuted
+    at the end and the scale/packing layout the Pallas kernel tiles on
+    is unchanged (the standard act_order + static_groups combination).
     """
     W = np.array(W, dtype=np.float64, copy=True)
     H = np.array(H, dtype=np.float64, copy=True)
@@ -79,6 +88,20 @@ def gptq_round(W, H, *, bits: int = 4, group_size: int = 128,
     dead = np.diag(H) <= 0.0
     H[dead, dead] = 1.0
     W[dead, :] = 0.0
+
+    perm = None
+    scales = np.zeros((G, N), dtype=np.float64)
+    if act_order:
+        perm = np.argsort(-np.diag(H), kind="stable")
+        # static scales from the ORIGINAL weights, per contiguous group
+        for g in range(G):
+            scales[g] = np.maximum(
+                np.max(np.abs(W[g * gs:(g + 1) * gs]), axis=0), 1e-8) / qmax
+        group_of = np.arange(K) // gs          # original row -> group
+        W = W[perm]
+        H = H[perm][:, perm]
+        row_group = group_of[perm]             # sweep position -> group
+
     H[diag, diag] += damp * float(np.mean(np.diag(H)))
 
     # Cholesky factor of the INVERSE Hessian, upper form: Hinv = U.T @ U.
@@ -87,23 +110,25 @@ def gptq_round(W, H, *, bits: int = 4, group_size: int = 128,
     U = np.linalg.cholesky(Hinv).T
 
     Q = np.zeros((K, N), dtype=np.int32)
-    scales = np.zeros((G, N), dtype=np.float64)
 
-    block = gs if G > 1 else min(128, K)
+    block = gs if (G > 1 and not act_order) else min(128, K)
     for b0 in range(0, K, block):
         b1 = min(b0 + block, K)
         Wb = W[b0:b1]
         Eb = np.zeros_like(Wb)
         for i in range(b0, b1):
             j = i - b0
-            if i % gs == 0:
-                g = i // gs
-                # group rows live inside this block (block == gs when
-                # G > 1), so Wb holds their current compensated values
-                rows = Wb[j:j + gs] if G > 1 else W
-                scales[g] = np.maximum(np.max(np.abs(rows), axis=0),
-                                       1e-8) / qmax
-            s = scales[i // gs]
+            if act_order:
+                s = scales[row_group[i]]
+            else:
+                if i % gs == 0:
+                    g = i // gs
+                    # group rows live inside this block (block == gs when
+                    # G > 1), so Wb holds their current compensated values
+                    rows = Wb[j:j + gs] if G > 1 else W
+                    scales[g] = np.maximum(np.max(np.abs(rows), axis=0),
+                                           1e-8) / qmax
+                s = scales[i // gs]
             w = Wb[j]
             q = np.clip(np.round(w / s), -qmax, qmax)
             Q[i] = q
@@ -114,6 +139,10 @@ def gptq_round(W, H, *, bits: int = 4, group_size: int = 128,
         if b1 < K:
             W[b1:] -= U[b0:b1, b1:].T @ Eb
 
+    if act_order:
+        inv = np.empty_like(perm)
+        inv[perm] = np.arange(K)
+        Q = Q[inv]
     if bits == 8:
         return Q, scales[0].astype(np.float32)
     return Q, scales.astype(np.float32)
@@ -131,10 +160,10 @@ def pack_gptq_int4(Q, scale):
 
 
 def gptq_quantize_linear_weight(w, H, *, bits: int, group_size: int,
-                                damp: float = 0.01):
+                                damp: float = 0.01, act_order: bool = False):
     """One [K, N] kernel -> quantized leaf dict entries (numpy)."""
     Q, scale = gptq_round(np.asarray(w), H, bits=bits, group_size=group_size,
-                          damp=damp)
+                          damp=damp, act_order=act_order)
     if bits == 4:
         packed, scale = pack_gptq_int4(Q, scale)
         return {"kernel_q4": packed, "scale": scale}
@@ -170,19 +199,21 @@ class _StackQuantizer:
     """
 
     def __init__(self, stack_params, cfg, *, bits: int, group_size: int,
-                 damp: float, log=lambda *_: None):
+                 damp: float, act_order: bool = False, log=lambda *_: None):
         self.params = stack_params          # {"layers": ..., "final_ln": ...}
         self.cfg = cfg
         self.bits = bits
         self.group_size = group_size
         self.damp = damp
+        self.act_order = act_order
         self.log = log
 
     def _quantize(self, name, i, w, H):
         self.log(f"    layer {i} {name}: K={w.shape[0]} N={w.shape[1]} "
                  f"bits={self.bits}")
         leaf = gptq_quantize_linear_weight(
-            w, H, bits=self.bits, group_size=self.group_size, damp=self.damp)
+            w, H, bits=self.bits, group_size=self.group_size, damp=self.damp,
+            act_order=self.act_order)
         if self.bits == 4:
             w_hat = quant.dequantize_int4(
                 jnp.asarray(leaf["kernel_q4"]), jnp.asarray(leaf["scale"]),
@@ -307,6 +338,7 @@ def gptq_quantize_block_transformer(params, cfg, batches, *, bits: int = 4,
                                     lm_head_bits: int = None,
                                     skip_lm_head: bool = False,
                                     damp: float = 0.01,
+                                    act_order: bool = False,
                                     verbose: bool = False):
     """Full sequential GPTQ over a block-transformer param tree.
 
@@ -354,7 +386,8 @@ def gptq_quantize_block_transformer(params, cfg, batches, *, bits: int = 4,
 
     log("block decoder:", len(batches), "calibration batches")
     sq = _StackQuantizer(params["block_decoder"], cfg.block_decoder,
-                         bits=bits, group_size=group_size, damp=damp, log=log)
+                         bits=bits, group_size=group_size, damp=damp,
+                         act_order=act_order, log=log)
     q_bd_layers, bd_hidden = sq.run(hs, valids, masks_,
                                     jnp.asarray(positions))
     q_bd = dict(params["block_decoder"])
@@ -387,7 +420,7 @@ def gptq_quantize_block_transformer(params, cfg, batches, *, bits: int = 4,
         log(f"expansion: K={ph}")
         leaf = gptq_quantize_linear_weight(
             np.asarray(td_params["expansion"]["kernel"]), H, bits=td_bits,
-            group_size=group_size, damp=damp)
+            group_size=group_size, damp=damp, act_order=act_order)
         exp_node = {k: jnp.asarray(v) for k, v in leaf.items()}
         if "bias" in td_params["expansion"]:
             exp_node["bias"] = td_params["expansion"]["bias"]
@@ -435,7 +468,7 @@ def gptq_quantize_block_transformer(params, cfg, batches, *, bits: int = 4,
     log("token decoder:", len(batches), "calibration batches")
     sq_td = _StackQuantizer(td_params, cfg.token_decoder.neox,
                             bits=td_bits, group_size=group_size, damp=damp,
-                            log=log)
+                            act_order=act_order, log=log)
     q_td_layers, td_hidden = sq_td.run(
         td_hs, td_valids, td_masks,
         jnp.arange(n_exp + L_blk - 1, dtype=jnp.int32))
@@ -455,7 +488,7 @@ def gptq_quantize_block_transformer(params, cfg, batches, *, bits: int = 4,
         log(f"lm head: bits={head_bits}")
         leaf = gptq_quantize_linear_weight(
             np.asarray(td_params["embed_out"]["kernel"]), H, bits=head_bits,
-            group_size=group_size, damp=damp)
+            group_size=group_size, damp=damp, act_order=act_order)
         head_node = {k: jnp.asarray(v) for k, v in leaf.items()}
         if "bias" in td_params["embed_out"]:
             head_node["bias"] = td_params["embed_out"]["bias"]

@@ -8,23 +8,31 @@ XLA ``take`` of each slot's pages materializes a full copy of the active
 cache per decode step — at the measured HBM roofline that doubles decode
 attention time. This kernel instead resolves the page table inside the
 ``pallas_call`` **index maps** (scalar prefetch): the page id for grid
-step ``(slot, group)`` is read from SMEM and the DMA engine streams that
-page of the pool directly into VMEM. No gather, no materialization — the
-pool is read once at int8 width, like the contiguous kernel.
+step ``(slot tile, page group)`` is read from SMEM and the DMA engine
+streams that page of the pool directly into VMEM. No gather, no
+materialization — the pool is read once at int8 width, like the
+contiguous kernel.
 
-Round-3 retile: the round-2 grid ``(B, n_virt)`` streamed ONE page per
-step — ~1 MB DMAs and a single small per-(row, head) MXU matmul per step,
-measured at 40% of the contiguous kernel's throughput (1,175 vs 2,968
-tok/s on the d64 engine workload; VERDICT r2). Pages cannot share a
-BlockSpec (each needs its own page-table lookup), but one grid step CAN
-carry **multiple page operands**: grid ``(B, n_virt/npp)`` with ``npp``
-K/V/scale operand quadruples whose index maps select consecutive virtual
-pages ``pt[b, g*npp + j]``. The kernel concatenates the page tiles in
-VMEM and issues ONE batched dot over ``npp*page_size`` keys — per-step
-DMA and MXU work grow ``npp``-fold, recovering the row-batched streaming
-that makes the contiguous kernel run at the bandwidth roofline. ``npp``
-is chosen like the contiguous kernel's K tile: the largest divisor of
-``n_virt`` whose double-buffered working set fits scoped VMEM.
+Round-4 tiling — ROW BATCHING (VERDICT r3 item 4): the round-2 grid
+``(B, n_virt)`` streamed ONE ~1MB page and ran one small per-(row, head)
+MXU matmul per step (measured 1,175 tok/s vs the contiguous kernel's
+2,968 on the d64 engine workload); the round-3 retile batched ``npp``
+consecutive pages per step but kept ONE batch row per step and measured
+no better (1,181 tok/s, BENCH_DETAIL_paged_r3.json) — at engine
+workloads ``n_virt`` is small (~2-3 pages of 256 positions at p2048), so
+per-slot page grouping had nothing to group. What the contiguous kernel
+has and this one lacked is **batch tiling**: its grid carries a tile of
+batch rows per step so the DMA streams several rows' K tiles at once and
+the dot is batched over (row, head). Pages of different slots cannot
+share a BlockSpec (each needs its own page-table lookup), but one grid
+step CAN carry ``nbt x npp`` page operands — ``npp`` consecutive virtual
+pages for each of ``nbt`` slot rows, index maps
+``pt[bq*nbt + i, ig*npp + j]``. The kernel stacks the page tiles in VMEM
+to ``[nbt, H, npp*ps, D]`` and issues ONE dot_general batched over
+(slot, head) — per-step DMA and MXU work grow ``nbt*npp``-fold. The
+(nbt, npp) tile is chosen like the contiguous kernel's K tile: the
+largest product whose double-buffered working set fits scoped VMEM
+(npp preferred on ties — fewer online-softmax group passes).
 
 Masking uses the same virtual-position ``AttnMask`` arrays as the
 contiguous path (they are contiguous in virtual space, so one BlockSpec
@@ -50,51 +58,56 @@ from block_transformer_tpu.ops.decode_attention import (_cdiv, _vmem_limit,
                                                         _NEG)
 
 
-def _paged_kernel(H: int, Sp: int, ps: int, npp: int, scale: float):
-    """One grid step = one slot row x ``npp`` consecutive virtual pages:
-    concatenate the page tiles in VMEM, one batched QK dot over the
-    merged head dim, online softmax across groups."""
+def _paged_kernel(H: int, Sp: int, ps: int, nbt: int, npp: int, scale: float):
+    """One grid step = ``nbt`` slot rows x ``npp`` consecutive virtual
+    pages each: stack the page tiles in VMEM, one (slot, head)-batched QK
+    dot over the merged ``npp*ps`` key dim, online softmax across page
+    groups."""
     bk = npp * ps
 
     def kernel(l_ref, pt_ref, q_idx_ref, kv_idx_ref, kv_valid_ref, q_ref,
                *rest):
         del l_ref, pt_ref                  # consumed by the index maps
-        k_refs = rest[0:npp]
-        ks_refs = rest[npp:2 * npp]
-        v_refs = rest[2 * npp:3 * npp]
-        vs_refs = rest[3 * npp:4 * npp]
-        o_ref, acc_ref, m_ref, l_sum_ref = rest[4 * npp:]
+        np_ops = nbt * npp
+        k_refs = rest[0:np_ops]
+        ks_refs = rest[np_ops:2 * np_ops]
+        v_refs = rest[2 * np_ops:3 * np_ops]
+        vs_refs = rest[3 * np_ops:4 * np_ops]
+        o_ref, acc_ref, m_ref, l_sum_ref = rest[4 * np_ops:]
         ig = pl.program_id(1)
         multi = pl.num_programs(1) > 1
 
         cdt = q_ref.dtype
-        q = q_ref[:].reshape(H, Sp, -1)
-        if npp == 1:
-            k = k_refs[0][0, 0].astype(cdt)                    # [H, ps, D]
-            v = v_refs[0][0, 0].astype(cdt)
-            ks = ks_refs[0][0, 0].reshape(H, 1, ps)
-            vsc = vs_refs[0][0, 0].reshape(H, 1, ps)
-        else:
-            k = jnp.concatenate([r[0, 0] for r in k_refs], 1).astype(cdt)
-            v = jnp.concatenate([r[0, 0] for r in v_refs], 1).astype(cdt)
-            ks = jnp.concatenate([r[0, 0] for r in ks_refs], 2)
-            vsc = jnp.concatenate([r[0, 0] for r in vs_refs], 2)
-        s = jax.lax.dot_general(q, k, (((2,), (2,)), ((0,), (0,))),
+        q = q_ref[:]                                           # [nbt,H,Sp,D]
+
+        def row(refs, i, axis):
+            tiles = [refs[i * npp + j][0, 0] for j in range(npp)]
+            return tiles[0] if npp == 1 else jnp.concatenate(tiles, axis)
+
+        def gather(refs, axis):
+            rows = [row(refs, i, axis) for i in range(nbt)]
+            return rows[0][None] if nbt == 1 else jnp.stack(rows)
+
+        k = gather(k_refs, 1).astype(cdt)                      # [nbt,H,bk,D]
+        v = gather(v_refs, 1).astype(cdt)
+        ks = gather(ks_refs, 2)                                # [nbt,H,1,bk]
+        vsc = gather(vs_refs, 2)
+        s = jax.lax.dot_general(q, k, (((3,), (3,)), ((0, 1), (0, 1))),
                                 preferred_element_type=jnp.float32)
-        s = s * (ks * scale)                                   # [H, Sp, bk]
+        s = s * (ks * scale)                                   # [nbt,H,Sp,bk]
 
         ki = kv_idx_ref[0, 0]                                  # [bk]
-        qi = q_idx_ref[:].reshape(1, Sp, 1)
-        valid = kv_valid_ref[:].reshape(1, 1, bk)
-        ok = (ki.reshape(1, 1, bk) <= qi) & (valid != 0)
-        s = jnp.where(jnp.broadcast_to(ok, (H, Sp, bk)), s, _NEG)
+        qi = q_idx_ref[:].reshape(nbt, 1, Sp, 1)
+        valid = kv_valid_ref[:].reshape(nbt, 1, 1, bk)
+        ok = (ki.reshape(1, 1, 1, bk) <= qi) & (valid != 0)
+        s = jnp.where(jnp.broadcast_to(ok, s.shape), s, _NEG)
 
-        m_new = jnp.max(s, axis=2, keepdims=True)              # [H, Sp, 1]
+        m_new = jnp.max(s, axis=3, keepdims=True)              # [nbt,H,Sp,1]
         p = jnp.exp(s - m_new)
-        l_new = jnp.sum(p, axis=2, keepdims=True)
+        l_new = jnp.sum(p, axis=3, keepdims=True)
         p = p * vsc
         a_new = jax.lax.dot_general(p.astype(cdt), v,
-                                    (((2,), (1,)), ((0,), (0,))),
+                                    (((3,), (2,)), ((0, 1), (0, 1))),
                                     preferred_element_type=jnp.float32)
 
         if multi:
@@ -104,8 +117,9 @@ def _paged_kernel(H: int, Sp: int, ps: int, npp: int, scale: float):
                 m_ref[:] = jnp.full_like(m_ref, _NEG)
                 l_sum_ref[:] = jnp.zeros_like(l_sum_ref)
 
-            m2, l2 = m_new.reshape(H * Sp, 1), l_new.reshape(H * Sp, 1)
-            a2 = a_new.reshape(H * Sp, -1)
+            R = nbt * H * Sp
+            m2, l2 = m_new.reshape(R, 1), l_new.reshape(R, 1)
+            a2 = a_new.reshape(R, -1)
             m_prev = m_ref[:]
             m_tot = jnp.maximum(m_prev, m2)
             corr_p = jnp.exp(m_prev - m_tot)
@@ -125,35 +139,49 @@ def _paged_kernel(H: int, Sp: int, ps: int, npp: int, scale: float):
     return kernel
 
 
-def _pick_npp(n_virt: int, H: int, ps: int, D: int, Sp: int) -> int:
-    """Largest divisor of ``n_virt`` whose per-step working set (K+V int8
-    pages + f32 scales, double-buffered, lane-padded D) fits scoped VMEM.
-    ``BT_PAGED_NPP`` overrides (racing/tests)."""
+def _pick_tiles(B: int, n_virt: int, H: int, ps: int, D: int,
+                Sp: int) -> tuple:
+    """(nbt, npp): largest ``nbt*npp`` page-operand tile (divisors of B /
+    n_virt) whose per-step working set (K+V int8 pages + f32 scales,
+    double-buffered, lane-padded D) fits scoped VMEM; npp wins ties
+    (fewer online-softmax group passes). ``BT_PAGED_NBT`` /
+    ``BT_PAGED_NPP`` override (racing/tests)."""
     import os
-    forced = os.environ.get("BT_PAGED_NPP")
-    if forced:
-        npp = int(forced)
-        assert n_virt % npp == 0, (n_virt, npp)
-        return npp
     Dp = -(-D // 128) * 128
 
-    def step_bytes(npp):
-        kv = 2 * H * npp * ps * Dp          # int8 K+V
-        sc = 2 * H * npp * ps * 4           # f32 scales
-        qo = 2 * H * Sp * Dp * 2
-        valid = 2 * npp * ps * 4 + Sp * 4
-        scratch = H * Sp * (Dp + 2) * 4
+    def step_bytes(nbt, npp):
+        kv = 2 * nbt * npp * H * ps * Dp    # int8 K+V
+        sc = 2 * nbt * npp * H * ps * 4     # f32 scales
+        qo = 2 * nbt * H * Sp * Dp * 2
+        valid = nbt * (2 * npp * ps * 4 + Sp * 4)
+        scratch = nbt * H * Sp * (Dp + 2) * 4
         return 2 * (kv + sc + qo + valid) + scratch
 
-    for npp in range(n_virt, 0, -1):
-        if n_virt % npp == 0 and step_bytes(npp) <= _vmem_limit():
-            return npp
-    return 1
+    f_nbt, f_npp = os.environ.get("BT_PAGED_NBT"), os.environ.get(
+        "BT_PAGED_NPP")
+    if f_nbt or f_npp:
+        nbt = int(f_nbt) if f_nbt else 1
+        npp = int(f_npp) if f_npp else 1
+        assert B % nbt == 0 and n_virt % npp == 0, (B, nbt, n_virt, npp)
+        return nbt, npp
+
+    nbts = [d for d in range(1, B + 1) if B % d == 0]
+    npps = [d for d in range(1, n_virt + 1) if n_virt % d == 0]
+    best = (1, 1)
+    for nbt in nbts:
+        for npp in npps:
+            if nbt * npp > 64:              # DMA-queue sanity cap
+                continue
+            if step_bytes(nbt, npp) > _vmem_limit():
+                continue
+            if (nbt * npp, npp) > (best[0] * best[1], best[1]):
+                best = (nbt, npp)
+    return best
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "npp"))
+@functools.partial(jax.jit, static_argnames=("interpret", "nbt", "npp"))
 def _paged_attn(q, k_q, k_s, v_q, v_s, layer, page_table, q_idx, kv_idx,
-                kv_valid, *, npp: int, interpret: bool):
+                kv_valid, *, nbt: int, npp: int, interpret: bool):
     """q [B, H, S, D]; k_q/v_q int8 [L, P, H, ps, D]; k_s/v_s f32
     [L, P, H, ps]; page_table int32 [B, n_virt]; mask arrays at virtual
     positions ([B, n_virt*ps] / [n_virt*ps])."""
@@ -170,54 +198,61 @@ def _paged_attn(q, k_q, k_s, v_q, v_s, layer, page_table, q_idx, kv_idx,
         q_idx = jnp.pad(q_idx, ((0, 0), (0, Sp - S)))
 
     # scalar-prefetch operands: [0] layer, [1] page table. One K/V/scale
-    # operand quadruple per page-in-group; j=j binds the page offset.
-    def kv_spec(j):
+    # operand quadruple per (slot-in-tile i, page-in-group j).
+    def kv_spec(i, j):
         return pl.BlockSpec(
             (1, 1, H, ps, D),
-            lambda b, ig, l, pt, j=j: (l[0], pt[b, ig * npp + j], 0, 0, 0),
+            lambda bq, ig, l, pt, i=i, j=j: (l[0],
+                                             pt[bq * nbt + i, ig * npp + j],
+                                             0, 0, 0),
             memory_space=pltpu.VMEM)
 
-    def sc_spec(j):
+    def sc_spec(i, j):
         return pl.BlockSpec(
             (1, 1, H, 1, ps),
-            lambda b, ig, l, pt, j=j: (l[0], pt[b, ig * npp + j], 0, 0, 0),
+            lambda bq, ig, l, pt, i=i, j=j: (l[0],
+                                             pt[bq * nbt + i, ig * npp + j],
+                                             0, 0, 0),
             memory_space=pltpu.VMEM)
 
+    pairs = [(i, j) for i in range(nbt) for j in range(npp)]
     in_specs = [
-        pl.BlockSpec((1, 1, Sp), lambda b, ig, l, pt: (b, 0, 0),
+        pl.BlockSpec((nbt, 1, Sp), lambda bq, ig, l, pt: (bq, 0, 0),
                      memory_space=pltpu.VMEM),            # q_idx
-        pl.BlockSpec((1, 1, bk), lambda b, ig, l, pt: (0, 0, ig),
+        pl.BlockSpec((1, 1, bk), lambda bq, ig, l, pt: (0, 0, ig),
                      memory_space=pltpu.VMEM),            # kv_idx (virtual)
-        pl.BlockSpec((1, 1, bk), lambda b, ig, l, pt: (b, 0, ig),
+        pl.BlockSpec((nbt, 1, bk), lambda bq, ig, l, pt: (bq, 0, ig),
                      memory_space=pltpu.VMEM),            # kv_valid (virtual)
-        pl.BlockSpec((1, H, Sp, D), lambda b, ig, l, pt: (b, 0, 0, 0),
+        pl.BlockSpec((nbt, H, Sp, D), lambda bq, ig, l, pt: (bq, 0, 0, 0),
                      memory_space=pltpu.VMEM),            # q
     ]
-    in_specs += [kv_spec(j) for j in range(npp)]
-    in_specs += [sc_spec(j) for j in range(npp)]
-    in_specs += [kv_spec(j) for j in range(npp)]
-    in_specs += [sc_spec(j) for j in range(npp)]
+    in_specs += [kv_spec(i, j) for (i, j) in pairs]
+    in_specs += [sc_spec(i, j) for (i, j) in pairs]
+    in_specs += [kv_spec(i, j) for (i, j) in pairs]
+    in_specs += [sc_spec(i, j) for (i, j) in pairs]
     args = [jnp.asarray(layer, jnp.int32).reshape(1),
             page_table.astype(jnp.int32),
             q_idx[:, None, :], kv_idx[None, None, :], kv_valid[:, None, :],
             q]
-    args += [k_q] * npp + [k_s[:, :, :, None, :]] * npp
-    args += [v_q] * npp + [v_s[:, :, :, None, :]] * npp
+    n_ops = len(pairs)
+    args += [k_q] * n_ops + [k_s[:, :, :, None, :]] * n_ops
+    args += [v_q] * n_ops + [v_s[:, :, :, None, :]] * n_ops
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(B, n_virt // npp),
+        grid=(B // nbt, n_virt // npp),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, H, Sp, D), lambda b, ig, l, pt: (b, 0, 0, 0),
+        out_specs=pl.BlockSpec((nbt, H, Sp, D),
+                               lambda bq, ig, l, pt: (bq, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((H * Sp, D), jnp.float32),
-            pltpu.VMEM((H * Sp, 1), jnp.float32),
-            pltpu.VMEM((H * Sp, 1), jnp.float32),
+            pltpu.VMEM((nbt * H * Sp, D), jnp.float32),
+            pltpu.VMEM((nbt * H * Sp, 1), jnp.float32),
+            pltpu.VMEM((nbt * H * Sp, 1), jnp.float32),
         ],
     )
     out = pl.pallas_call(
-        _paged_kernel(H, Sp, ps, npp, scale),
+        _paged_kernel(H, Sp, ps, nbt, npp, scale),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, H, Sp, D), q.dtype),
         compiler_params=pltpu.CompilerParams(
@@ -252,9 +287,9 @@ def paged_decode_attention_int8(q, k_q, k_s, v_q, v_s, layer, page_table,
     kv_valid = mask.kv_valid
     if kv_valid is None:
         kv_valid = jnp.ones((B, K), jnp.int32)
-    npp = _pick_npp(n_virt, H, ps, D, max(8, _cdiv(S, 8) * 8))
+    nbt, npp = _pick_tiles(B, n_virt, H, ps, D, max(8, _cdiv(S, 8) * 8))
     return _paged_attn(q, k_q, k_s.astype(jnp.float32), v_q,
                        v_s.astype(jnp.float32), layer, page_table,
                        q_idx.astype(jnp.int32), mask.kv_idx.astype(jnp.int32),
-                       kv_valid.astype(jnp.int32), npp=npp,
+                       kv_valid.astype(jnp.int32), nbt=nbt, npp=npp,
                        interpret=interpret)

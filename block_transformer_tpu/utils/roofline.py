@@ -83,7 +83,8 @@ def decode_stage_model(cfg, batch: int, prefill: int, decode: int,
 
     return {"bd_flops": bd_flops, "td_flops": td_flops,
             "bd_bytes": bd_bytes, "td_bytes": td_bytes,
-            "flops_per_token": (bd_flops + td_flops) / (batch * L)}
+            "flops_per_token": (bd_flops + td_flops) / (batch * L),
+            "bytes_per_token": (bd_bytes + td_bytes) / (batch * L)}
 
 
 def prefill_model(cfg, batch: int, prefill: int) -> dict:

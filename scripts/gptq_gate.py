@@ -54,6 +54,11 @@ def main():
                     help="train steps of the checkpointed run (optimizer "
                     "template shape only)")
     ap.add_argument("--damp", type=float, default=0.01)
+    ap.add_argument("--act_order", action="store_true",
+                    help="process rows by descending Hessian diagonal "
+                    "(static group scales; packed layout unchanged)")
+    ap.add_argument("--skip_rtn", action="store_true",
+                    help="skip the RTN reference rows (already measured)")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (eval of TPU-trained "
                     "checkpoints, as in quality_run)")
@@ -131,18 +136,20 @@ def main():
         print(f"[gptq_gate] {name}: ppl {p:.4f} ({d:+.3f}%) "
               f"{results['configs'][name]['gate']} ({time.time()-t0:.0f}s)")
 
-    # RTN reference points (re-measured on the same eval slice)
-    add("rtn_int4_g128",
-        quant.quantize_block_transformer(params, bits=4, group_size=128))
-    add("rtn_int4_g32_head8",
-        quant.quantize_block_transformer(params, bits=4, lm_head_bits=8,
-                                         group_size=32))
+    if not args.skip_rtn:
+        # RTN reference points (re-measured on the same eval slice)
+        add("rtn_int4_g128",
+            quant.quantize_block_transformer(params, bits=4, group_size=128))
+        add("rtn_int4_g32_head8",
+            quant.quantize_block_transformer(params, bits=4, lm_head_bits=8,
+                                             group_size=32))
 
     # GPTQ ladder — g128 is the Pallas kernel's native tile
     def g(name, **kw):
         t1 = time.time()
         tree = gptq.gptq_quantize_block_transformer(
-            params, cfg, calib, damp=args.damp, **kw)
+            params, cfg, calib, damp=args.damp, act_order=args.act_order,
+            **kw)
         print(f"[gptq_gate] {name} quantized in {time.time()-t1:.0f}s")
         add(name, tree)
 

@@ -108,3 +108,21 @@ def test_paged_multi_group_online_softmax(monkeypatch):
     retile (one fused DMA + dot per npp pages)."""
     monkeypatch.setenv("BT_PAGED_NPP", "2")
     test_paged_matches_contiguous()
+
+
+def test_paged_row_batched(monkeypatch):
+    """Round-4 row batching: 2 slot rows x 2 pages per grid step — each
+    slot resolves its own page-table entries inside one step, the dot is
+    batched over (slot, head), and the cross-group online softmax still
+    accumulates per slot."""
+    monkeypatch.setenv("BT_PAGED_NBT", "2")
+    monkeypatch.setenv("BT_PAGED_NPP", "2")
+    test_paged_matches_contiguous()
+
+
+def test_paged_full_tile(monkeypatch):
+    """Degenerate single-step grid: the whole batch in one row tile and
+    all virtual pages in one group (no online-softmax passes at all)."""
+    monkeypatch.setenv("BT_PAGED_NBT", "4")
+    monkeypatch.setenv("BT_PAGED_NPP", "4")
+    test_paged_matches_contiguous()
