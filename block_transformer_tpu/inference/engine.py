@@ -111,7 +111,8 @@ class ContinuousBatchingEngine:
                  sync_blocks: int = 4, max_window: int = 64, seed: int = 0,
                  page_size: int = 256, pool_pages: Optional[int] = None,
                  mesh=None, mesh_impl: str = "gspmd",
-                 latency_mode: bool = False, window_growth: float = 2.0):
+                 latency_mode: bool = False, window_growth: float = 2.0,
+                 overlap_streams: int = 1):
         self.params = params
         self.cfg = cfg
         self.n_slots = n_slots
@@ -225,7 +226,8 @@ class ContinuousBatchingEngine:
                 mesh, cfg, self.params, self.cache, n_slots=n_slots,
                 capacity=self.cap, max_window=self.max_window,
                 kv_cache=self.kv_kind, greedy=greedy,
-                temperature=temperature, top_k=top_k, top_p=top_p)
+                temperature=temperature, top_k=top_k, top_p=top_p,
+                overlap_streams=overlap_streams)
         else:
             self._prefill = self._make_prefill()  # retraces once per bucket
             self._decode = self._make_decode()

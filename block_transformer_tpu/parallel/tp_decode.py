@@ -688,7 +688,8 @@ def make_tp_engine_programs(mesh, cfg: BlockTransformerConfig, params_tree,
                             cache_tmpl, *, n_slots: int, capacity: int,
                             max_window: int, kv_cache: str = "int8",
                             greedy: bool = True, temperature: float = 1.0,
-                            top_k: int = 0, top_p: float = 1.0):
+                            top_k: int = 0, top_p: float = 1.0,
+                            overlap_streams: int = 1):
     """The serving engine's two device programs (admission prefill +
     adaptive decode window) as ``shard_map`` bodies with explicit
     collectives. Same signatures and numerics as the engine's GSPMD
@@ -702,7 +703,21 @@ def make_tp_engine_programs(mesh, cfg: BlockTransformerConfig, params_tree,
     same G prompt rows, tp-split by heads) and each shard keeps only its
     slots — prefill is the amortized minority cost, decode is where the
     explicit-collective + per-shard-Pallas win lives.
+
+    ``overlap_streams=2`` brings the north-star overlap schedule to the
+    SERVING path (VERDICT r3 item 5): each window iteration splits the
+    local slots into two independent half-batch token-decoder chains —
+    ``TD(A); TD(B)`` share no data, so stream A's per-layer ``psum`` /
+    top-1 sampling collectives can run under stream B's matmuls. Unlike
+    the batch generator, the block-decoder step stays joint over the
+    whole local batch: splitting it would split the persistent KV cache
+    carry (a 2x cache copy at every window boundary), and the token
+    decoder is where the per-token collectives live anyway (it issues
+    ``block_length`` x per-layer psums + a sampling gather per block vs
+    the block decoder's single stacked pass). Greedy decode is bitwise
+    identical either way (tested); the sampled key schedule differs.
     """
+    assert overlap_streams in (1, 2), overlap_streams
     tp = int(mesh.shape["model"])
     data_axes = tuple(a for a in mesh.axis_names if a != "model")
     dp = int(np.prod([mesh.shape[a] for a in data_axes]))
@@ -795,9 +810,23 @@ def make_tp_engine_programs(mesh, cfg: BlockTransformerConfig, params_tree,
              key, _) = carry
             live = alive & (blocks_left > 0)
             key, kb = jax.random.split(key)
-            tokens, inner_alive = _tp_decode_block_tokens(
-                params, cfg, tp, next_embeds, greedy, temperature, kb,
-                top_k, top_p)
+            if overlap_streams == 2 and Bl % 2 == 0:
+                # two independent half-batch TD chains (overlap schedule):
+                # nothing orders stream A's collectives vs stream B's math
+                h = Bl // 2
+                kA, kB = jax.random.split(kb)
+                tA, aA = _tp_decode_block_tokens(
+                    params, cfg, tp, next_embeds[:h], greedy, temperature,
+                    kA, top_k, top_p)
+                tB, aB = _tp_decode_block_tokens(
+                    params, cfg, tp, next_embeds[h:], greedy, temperature,
+                    kB, top_k, top_p)
+                tokens = jnp.concatenate([tA, tB], 0)
+                inner_alive = jnp.concatenate([aA, aB], 0)
+            else:
+                tokens, inner_alive = _tp_decode_block_tokens(
+                    params, cfg, tp, next_embeds, greedy, temperature, kb,
+                    top_k, top_p)
             tokens = jnp.where(live[:, None], tokens, cfg.pad_token_id)
             has_eos = live & ~inner_alive
             new_be = emb.embed_blocks(params["embedder"], cfg.embedder, L,

@@ -59,6 +59,8 @@ def main():
                     "(static group scales; packed layout unchanged)")
     ap.add_argument("--skip_rtn", action="store_true",
                     help="skip the RTN reference rows (already measured)")
+    ap.add_argument("--configs", default=None,
+                    help="comma-separated subset of GPTQ config names to run")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (eval of TPU-trained "
                     "checkpoints, as in quality_run)")
@@ -145,7 +147,11 @@ def main():
                                              group_size=32))
 
     # GPTQ ladder — g128 is the Pallas kernel's native tile
+    only = set(args.configs.split(",")) if args.configs else None
+
     def g(name, **kw):
+        if only is not None and name not in only:
+            return
         t1 = time.time()
         tree = gptq.gptq_quantize_block_transformer(
             params, cfg, calib, damp=args.damp, act_order=args.act_order,

@@ -368,6 +368,32 @@ def test_engine_shard_map_matches_single():
         assert got == want, (got, want)
 
 
+def test_engine_shard_map_overlap_streams_exact():
+    """The two-stream token-decoder interleave in the serving window
+    (overlap_streams=2, the north-star overlap schedule on the SERVING
+    path) is a pure reordering for greedy decode: token-for-token
+    identical to the single-chain window."""
+    from block_transformer_tpu.parallel import sharding as sh
+
+    cfg, params = _setup(seed=31)
+    rng = np.random.default_rng(31)
+    prompts = [rng.integers(1, VOCAB, size=n) for n in (8, 12, 6, 10)]
+
+    def run_engine(streams):
+        eng = ContinuousBatchingEngine(
+            params, cfg, n_slots=4, max_blocks=12, kv_cache="int8",
+            mesh=sh.make_mesh(n_data=2, n_model=4), mesh_impl="shard_map",
+            overlap_streams=streams)
+        for p in prompts:
+            eng.submit(p, 6)
+        reqs = list(eng.waiting)
+        eng.run(max_steps=100)
+        assert not eng.has_work()
+        return [r.generated for r in reqs]
+
+    assert run_engine(2) == run_engine(1)
+
+
 def test_engine_shard_map_state_stays_sharded():
     from block_transformer_tpu.parallel import sharding as sh
 
