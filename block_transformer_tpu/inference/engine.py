@@ -163,17 +163,33 @@ class ContinuousBatchingEngine:
             # INT8 (or INT4: "paged-int4") page pool: HBM scales with
             # resident tokens, not n_slots x max capacity. Admission
             # allocates pages from a free list; page 0 is the null page.
+            # Over a shard_map mesh the pool PARTITIONS across the data
+            # shards (each shard's sub-pool serves its own slots; page
+            # ids in the table are shard-local, every shard's local page
+            # 0 is its null page) — per-shard free lists below.
             bits = 4 if kv_cache.endswith("int4") else 8
             self.page_size = ps = min(page_size, cap)
             self.cap = cap = _round_up(cap, ps)
             self.n_virt = cap // ps
+            self._paged_dp = 1
+            if mesh is not None and mesh_impl == "shard_map":
+                from block_transformer_tpu.parallel import sharding as sh
+                self._paged_dp = int(np.prod(
+                    [mesh.shape[a] for a in sh.data_axes(mesh)]))
+            dp = self._paged_dp
             # default pool: half the fully-dense footprint, min 1 slot's worth
             self.pool_pages = pool_pages or max(
                 self.n_virt + 1, n_slots * self.n_virt // 2 + 1)
+            # per-shard sub-pools need equal page counts (>= nv+1 each so
+            # one max-length request always fits a shard)
+            per_shard = max(self.n_virt + 1, -(-self.pool_pages // dp))
+            self.pool_pages = per_shard * dp
             self.cache = jax.jit(lambda: neox.PagedKVCache.create(
                 cfg.block_decoder, n_slots, cap, n_pages=self.pool_pages,
                 page_size=ps, bits=bits))()
-            self._free_pages = list(range(1, self.pool_pages))
+            # shard-local ids 1..per_shard-1 (0 = the shard's null page)
+            self._pages_per_shard = per_shard
+            self._free_pages = [list(range(1, per_shard)) for _ in range(dp)]
             self._slot_pages: Dict[int, list] = {}
             # admission prefill still runs a contiguous mini-cache and then
             # scatters its pages into the pool
@@ -232,6 +248,12 @@ class ContinuousBatchingEngine:
             self._prefill = self._make_prefill()  # retraces once per bucket
             self._decode = self._make_decode()
 
+    def _slot_shard(self, slot: int) -> int:
+        """Data shard owning ``slot`` (paged allocator routing; 0 when
+        single-device)."""
+        dp = getattr(self, "_paged_dp", 1)
+        return slot // (self.n_slots // dp)
+
     def _shard_over(self, mesh):
         """Serve over a (data, model) mesh: slots shard over the data axes,
         attention heads / TP weight shards over ``model`` — the sharded
@@ -240,10 +262,16 @@ class ContinuousBatchingEngine:
         through the jitted prefill/decode-window programs, so the same
         engine code serves one chip or a pod slice.
 
-        (Paged pools are single-device for now: the shared page pool would
-        need page-granular sharding and cross-slot scatter collectives.)"""
-        assert not self.kv_kind.startswith("paged"), \
-            "paged pool is single-device for now"
+        Paged pools serve over a mesh through ``mesh_impl='shard_map'``
+        only: pool pages PARTITION across the data shards (axis 1 of the
+        pool arrays; each shard's sub-pool holds its own slots' pages at
+        shard-local ids) and heads shard over ``model``, so the fused
+        page-table Pallas kernel runs per shard and pool HBM scales
+        1/(dp*tp). The GSPMD route stays unsupported by design:
+        ``pallas_call`` has no GSPMD partitioning rule, and the only XLA
+        fallback for page-table attention is a gather that materializes
+        a full copy of the active cache per decode step — the exact cost
+        the paged kernel exists to avoid."""
         from jax.sharding import NamedSharding, PartitionSpec as P
         from block_transformer_tpu.parallel import sharding as sh
         assert self.n_slots % np.prod(
@@ -256,7 +284,8 @@ class ContinuousBatchingEngine:
             # explicit-collective programs: head-major QKV layout (+ int4
             # per-shard repacking) and the manual-mode TP specs
             from block_transformer_tpu.parallel import tp_decode
-            assert self.kv_kind in ("bf16", "int8"), self.kv_kind
+            assert self.kv_kind in ("bf16", "int8", "paged",
+                                    "paged-int4"), self.kv_kind
             self.params = tp_decode.prepare_tp_params(
                 self.params, self.cfg, tp=int(mesh.shape["model"]))
             shardings = jax.tree.map(lambda s: NamedSharding(mesh, s),
@@ -264,13 +293,16 @@ class ContinuousBatchingEngine:
                                      is_leaf=lambda x: isinstance(x, P))
             self.params = jax.tree.map(jax.device_put, self.params, shardings)
         else:
+            assert not self.kv_kind.startswith("paged"), \
+                "paged + mesh requires mesh_impl='shard_map' (see docstring)"
             self.params = jax.tree.map(
                 jax.device_put, self.params,
                 sh.param_shardings(mesh, self.params))
         self.cache = jax.tree.map(
             lambda x: put(x, sh.kv_cache_pspec()) if x.ndim == 5 else
             (put(x, P(None, d, "model", None)) if x.ndim == 4    # scales
-             else put(x, P())), self.cache)
+             else (put(x, P(d)) if x.ndim == 2                   # page table
+                   else put(x, P()))), self.cache)
         self.kv_valid = put(self.kv_valid, P(d))
         self.next_embeds = put(self.next_embeds, P(d))
         self.slot_len = put(self.slot_len, P(d))
@@ -517,16 +549,19 @@ class ContinuousBatchingEngine:
                 # so decode never needs a mid-flight grow); first-fit when
                 # the pool is tight — a large head request doesn't convoy
                 # smaller ones behind it (skipped requests keep queue order
-                # and retry next admission as pages free)
+                # and retry next admission as pages free). Pages come from
+                # the slot's data-shard sub-pool (shard-local ids; dp=1
+                # single-device degenerates to one global list).
                 blocks_budget = (req.max_new_tokens + L - 1) // L
                 n_emb = self.cfg.n_embedding_tokens
                 need = min(self.n_virt,
                            -(-((N + blocks_budget) * n_emb) // self.page_size))
-                if len(self._free_pages) < need:
+                shard_free = self._free_pages[self._slot_shard(slot)]
+                if len(shard_free) < need:
                     skipped.append(req)
                     free.insert(0, slot)
                     continue
-                pgs = [self._free_pages.pop() for _ in range(need)]
+                pgs = [shard_free.pop() for _ in range(need)]
                 self._slot_pages[slot] = pgs
                 row = np.zeros((self.n_virt,), np.int32)
                 row[:len(pgs)] = pgs
@@ -671,7 +706,8 @@ class ContinuousBatchingEngine:
                 del self.active[s]
                 self._dispatched.pop(s, None)
                 if self.kv_kind.startswith("paged"):
-                    self._free_pages.extend(self._slot_pages.pop(s, []))
+                    self._free_pages[self._slot_shard(s)].extend(
+                        self._slot_pages.pop(s, []))
                     # point the dead slot at the null page: decode windows
                     # run for EVERY slot (liveness only masks tokens), so a
                     # stale row would keep scattering K/V into pages that

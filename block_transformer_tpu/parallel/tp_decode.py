@@ -270,7 +270,8 @@ def _tp_stack(params, x, *, cfg: NeoXConfig, tp: int, mask, positions,
                                          cache.k.shape[3]))
     layers = params["layers"]
     quantized = isinstance(cache, neox.QuantKVCache)
-    use_fused = neox._fused_kv_attn_enabled(x.shape[1])
+    use_fused = (neox._fused_kv_attn_enabled(x.shape[1])
+                 and (not quantized or cache.k.dtype == jnp.int8))
     if fresh:
         # q-tiled fresh attention (same closure as the single-device fresh
         # prefill): bounds the per-layer transient score buffer at
@@ -287,8 +288,8 @@ def _tp_stack(params, x, *, cfg: NeoXConfig, tp: int, mask, positions,
         q, k, v = _tp_layer_qkv(p, h, lcfg=lcfg, cos=cos, sin=sin,
                                 positions=positions)
         if quantized:
-            kq, ks = neox.quantize_kv(k)
-            vq, vs = neox.quantize_kv(v)
+            kq, ks = neox.quantize_kv(k, cache.k.dtype)
+            vq, vs = neox.quantize_kv(v, cache.k.dtype)
             ck = neox._write_kv(ck, kq, i, write_pos)
             cv = neox._write_kv(cv, vq, i, write_pos)
             cks = neox._write_kv(cks, ks, i, write_pos)
@@ -348,6 +349,75 @@ def _tp_stack(params, x, *, cfg: NeoXConfig, tp: int, mask, positions,
     else:
         (h, nk, nv), _ = jax.lax.scan(body, (x, cache.k, cache.v), idx)
         new_cache = neox.KVCache(nk, nv, cache.length + x.shape[1])
+    h = neox.layer_norm(h, params["final_ln"], cfg.layer_norm_eps)
+    return h, new_cache
+
+
+def _tp_stack_paged(params, x, *, cfg: NeoXConfig, tp: int, mask, positions,
+                    cache, write_pos, axis: str = "model"):
+    """Paged-pool decode stack on local shards; one psum per layer.
+
+    The paged analogue of ``_tp_stack``'s cached branch: the page pool is
+    LOCAL to this shard on both mesh axes — pages partition over the data
+    axes (each data shard's sub-pool serves its own slots, page-table
+    entries are shard-local ids) and heads over ``model`` — so the fused
+    Pallas page-table attention (ops/paged_attention.py) runs per shard
+    exactly as on one device, and pool HBM scales 1/(dp*tp). ``mask`` is
+    over virtual positions; ``write_pos`` is per row [B] (slot
+    frontiers). Mirrors the single-device paged branch of
+    models/neox.neox_stack.
+    """
+    lcfg = _local_cfg(cfg, tp)
+    ps = cache.page_size
+    pt = cache.page_table
+    S = x.shape[1]
+    cos, sin = neox.rope_tables(cfg, max(cfg.max_position_embeddings,
+                                         pt.shape[1] * ps))
+    layers = params["layers"]
+    interp = jax.devices()[0].platform != "tpu"
+    if write_pos.ndim == 0:
+        write_pos = jnp.broadcast_to(write_pos, (x.shape[0],))
+    vp = write_pos[:, None] + jnp.arange(S, dtype=jnp.int32)[None]
+    page = jnp.take_along_axis(pt, vp // ps, axis=1)              # [B, S]
+    off = vp % ps
+    kv_dtype = cache.k.dtype
+
+    def body(carry, i):
+        h, ck, cv, cks, cvs = carry
+        p = neox.layer_view(layers, i)
+        q, k, v = _tp_layer_qkv(p, h, lcfg=lcfg, cos=cos, sin=sin,
+                                positions=positions)
+        kq, ks = neox.quantize_kv(k, kv_dtype)
+        vq, vs = neox.quantize_kv(v, kv_dtype)
+        ck = ck.at[i, page, :, off].set(kq.transpose(0, 2, 1, 3))
+        cv = cv.at[i, page, :, off].set(vq.transpose(0, 2, 1, 3))
+        cks = cks.at[i, page, :, off].set(ks.transpose(0, 2, 1))
+        cvs = cvs.at[i, page, :, off].set(vs.transpose(0, 2, 1))
+        from block_transformer_tpu.ops import paged_attention
+        attn = paged_attention.paged_decode_attention_int8(
+            q, ck, cks, cv, cvs, i, pt, mask, interpret=interp
+        ).astype(q.dtype)
+        B, Sx = h.shape[0], h.shape[1]
+        a_flat = attn.transpose(0, 2, 1, 3).reshape(B, Sx, -1)
+        a_part = apply_linear(a_flat,
+                              StackedLinear(_nobias(layers["attn"]["out"]), i))
+        mlp_in = neox.layer_norm(h, p["ln2"], cfg.layer_norm_eps)
+        u = apply_linear(mlp_in, p["mlp"]["up"])
+        m_part = apply_linear(jax.nn.gelu(u, approximate=False),
+                              StackedLinear(_nobias(layers["mlp"]["down"]), i))
+        tot = jax.lax.psum(a_part + m_part, axis)
+        tot = tot + _bias_of(layers["attn"]["out"], i) \
+                  + _bias_of(layers["mlp"]["down"], i)
+        assert cfg.use_parallel_residual, \
+            "tp decode implements the parallel-residual (Pythia) layout"
+        h = h + tot.astype(h.dtype)
+        return (h, ck, cv, cks, cvs), None
+
+    idx = jnp.arange(cfg.num_layers, dtype=jnp.int32)
+    (h, nk, nv, nks, nvs), _ = jax.lax.scan(
+        body, (x, cache.k, cache.v, cache.k_scale, cache.v_scale), idx)
+    new_cache = cache._replace(k=nk, v=nv, k_scale=nks, v_scale=nvs,
+                               length=cache.length + S)
     h = neox.layer_norm(h, params["final_ln"], cfg.layer_norm_eps)
     return h, new_cache
 
@@ -664,14 +734,22 @@ def engine_state_specs(cache, data_axes=("data",)) -> tuple:
     """(cache_specs, kv_valid, next_embeds, per_slot) PartitionSpecs for the
     engine's persistent state: slots shard over the data axes, K/V heads
     over ``model`` — the same physical layout the GSPMD engine uses, so
-    the two mesh implementations are drop-in interchangeable."""
+    the two mesh implementations are drop-in interchangeable.
+
+    Paged pools: axis 1 of the pool arrays is ``n_pages`` and partitions
+    over the data axes (each shard's sub-pool holds its own slots' pages
+    at shard-local ids; the engine allocator keeps per-shard free lists);
+    the page table shards with its slot rows. Heads shard over ``model``
+    like the contiguous cache."""
     dd = tuple(data_axes)
 
     def cache_spec(x):
-        if x.ndim == 5:                     # k/v [L, B, H, cap, D]
+        if x.ndim == 5:                     # k/v [L, B|P, H, cap|ps, D]
             return P(None, dd, "model", None, None)
-        if x.ndim == 4:                     # scales [L, B, H, cap]
+        if x.ndim == 4:                     # scales [L, B|P, H, cap|ps]
             return P(None, dd, "model", None)
+        if x.ndim == 2:                     # page_table [n_slots, n_virt]
+            return P(dd)
         return P()                          # length scalar
     cache_specs = jax.tree.map(cache_spec, cache)
     return cache_specs, P(dd), P(dd), P(dd)
@@ -728,6 +806,8 @@ def make_tp_engine_programs(mesh, cfg: BlockTransformerConfig, params_tree,
     cap = capacity
     I = max_window
     lblk = _local_cfg(cfg.block_decoder, tp)
+    paged = kv_cache.startswith("paged")
+    paged_bits = 4 if kv_cache.endswith("int4") else 8
     pspecs = tp_param_specs(params_tree)
     cache_specs, valid_p, emb_p, slot_p = engine_state_specs(cache_tmpl,
                                                              data_axes)
@@ -753,7 +833,14 @@ def make_tp_engine_programs(mesh, cfg: BlockTransformerConfig, params_tree,
             valid, jnp.repeat(bam.astype(jnp.int32), n, axis=1), (0, 0))
         mask = masks.block_decode_mask(jnp.int32(0), cap, S, valid, n)
         positions = jnp.arange(S, dtype=jnp.int32)
-        row_cache = neox.make_kv_cache(lblk, G, cap, kv_cache, dtype=x.dtype)
+        if paged:
+            # contiguous mini-cache for the admitted rows (local heads),
+            # then page-granular scatter into this shard's local sub-pool
+            row_cache = neox.QuantKVCache.create(lblk, G, cap,
+                                                 bits=paged_bits)
+        else:
+            row_cache = neox.make_kv_cache(lblk, G, cap, kv_cache,
+                                           dtype=x.dtype)
         hidden, row_cache = _tp_stack(params["block_decoder"], x,
                                       cfg=cfg.block_decoder, tp=tp, mask=mask,
                                       positions=positions, cache=row_cache,
@@ -772,9 +859,36 @@ def make_tp_engine_programs(mesh, cfg: BlockTransformerConfig, params_tree,
             shape[batch_dim] = sel.shape[0]
             return jnp.where(sel.reshape(shape), take, pool)
 
-        updates = {f: keep(getattr(cache, f), getattr(row_cache, f), 1)
-                   for f in cache._fields if f != "length"}
-        new_cache = cache._replace(**updates)
+        if paged:
+            # out-of-shard rows target null page 0 (their garbage writes
+            # collide there harmlessly — page 0 is always kv_valid=0)
+            ps = cache.page_size
+            nv = cap // ps
+            localg = (ls >= 0) & (ls < Bl)
+            pt_rows = jnp.where(
+                localg[:, None],
+                jnp.take(cache.page_table, jnp.clip(ls, 0, Bl - 1), axis=0),
+                0)                                         # [G, nv] local ids
+
+            def paged_vals(a):
+                if a.ndim == 5:
+                    Lx, Gx, Hx, cx, Dx = a.shape
+                    return a.reshape(Lx, Gx, Hx, nv, ps, Dx
+                                     ).transpose(0, 1, 3, 2, 4, 5)
+                Lx, Gx, Hx, cx = a.shape
+                return a.reshape(Lx, Gx, Hx, nv, ps).transpose(0, 1, 3, 2, 4)
+
+            new_cache = cache._replace(
+                k=cache.k.at[:, pt_rows].set(paged_vals(row_cache.k)),
+                v=cache.v.at[:, pt_rows].set(paged_vals(row_cache.v)),
+                k_scale=cache.k_scale.at[:, pt_rows].set(
+                    paged_vals(row_cache.k_scale)),
+                v_scale=cache.v_scale.at[:, pt_rows].set(
+                    paged_vals(row_cache.v_scale)))
+        else:
+            updates = {f: keep(getattr(cache, f), getattr(row_cache, f), 1)
+                       for f in cache._fields if f != "length"}
+            new_cache = cache._replace(**updates)
         valid = jnp.where(jnp.arange(cap)[None] < true_len[:, None] * n,
                           valid, 0)
         kv_valid = keep(kv_valid, valid, 0)
@@ -840,7 +954,8 @@ def make_tp_engine_programs(mesh, cfg: BlockTransformerConfig, params_tree,
             mask = masks.AttnMask(q_idx, kv_idx, kv_valid2)
             positions = (write_pos[:, None]
                          + jnp.arange(n, dtype=jnp.int32)[None])
-            hidden, cache2 = _tp_stack(
+            stack = _tp_stack_paged if paged else _tp_stack
+            hidden, cache2 = stack(
                 params["block_decoder"], new_be.astype(next_embeds.dtype),
                 cfg=cfg.block_decoder, tp=tp, mask=mask, positions=positions,
                 cache=cache, write_pos=write_pos)

@@ -275,7 +275,10 @@ def test_engine_paged_frees_page_table_rows():
     eng.run(max_steps=80)
     assert not eng.has_work()
     assert (np.asarray(eng.cache.page_table) == 0).all()
-    assert sorted(eng._free_pages) == list(range(1, eng.pool_pages))
+    # free lists are per data shard (shard-local ids); dp=1 here
+    flat = sorted(p for lst in eng._free_pages for p in lst)
+    assert flat == list(range(1, eng._pages_per_shard)) and \
+        eng._pages_per_shard * eng._paged_dp == eng.pool_pages
 
 
 def test_engine_sharded_quantized():
@@ -366,6 +369,35 @@ def test_engine_shard_map_matches_single():
         got = run_engine(mesh=sh.make_mesh(n_data=2, n_model=4),
                          mesh_impl="shard_map")
         assert got == want, (got, want)
+
+
+def test_engine_shard_map_paged_matches_single():
+    """Paged pool over a (data, model) mesh (mesh_impl='shard_map'): pool
+    pages partition across the data shards (shard-local page ids, per-
+    shard free lists), heads shard over model — must generate token-for-
+    token what the single-device paged engine generates, through page
+    free/realloc cycles (4 requests over 2 slots)."""
+    from block_transformer_tpu.parallel import sharding as sh
+
+    cfg, params = _setup(seed=29)
+    rng = np.random.default_rng(29)
+    prompts = [rng.integers(1, VOCAB, size=n) for n in (8, 12, 6, 10)]
+
+    def run_engine(**kw):
+        eng = ContinuousBatchingEngine(params, cfg, n_slots=4, max_blocks=12,
+                                       kv_cache="paged", page_size=4,
+                                       pool_pages=20, **kw)
+        for p in prompts:
+            eng.submit(p, 6)
+        reqs = list(eng.waiting)
+        eng.run(max_steps=100)
+        assert not eng.has_work()
+        return [r.generated for r in reqs]
+
+    want = run_engine()
+    got = run_engine(mesh=sh.make_mesh(n_data=2, n_model=4),
+                     mesh_impl="shard_map")
+    assert got == want, (got, want)
 
 
 def test_engine_shard_map_overlap_streams_exact():
