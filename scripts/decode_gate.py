@@ -165,7 +165,11 @@ def main():
                     help="include the GPTQ-mixed48 row (adds ~3 min "
                     "calibration)")
     ap.add_argument("--bar_pct", type=float, default=0.5)
-    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--cpu", action="store_true",
+                    help="run EVERYTHING on CPU (workers too) — for smoke "
+                    "tests; without it the parent still pins itself to CPU "
+                    "(eager GPTQ calibration is pathological on the TPU "
+                    "tunnel) while decode workers use the TPU")
     ap.add_argument("--out", default="results/decode_gate.json")
     args = ap.parse_args()
     if args.cpu:
@@ -173,8 +177,10 @@ def main():
 
     import jax
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-    if args.cpu:
-        jax.config.update("jax_platforms", "cpu")
+    # the parent only loads/quantizes/scores (all CPU-suited, and GPTQ's
+    # eager calibration would crawl on the tunnel); decode workers are
+    # subprocesses and pick their own platform via BT_CPU
+    jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     from block_transformer_tpu.config import get_config
     from block_transformer_tpu.models import block_transformer as bt
