@@ -313,6 +313,14 @@ def main():
                     "on the TPU, then eval with --skip_train --cpu")
     ap.add_argument("--int4_group", type=int, default=128,
                     help="INT4 group size (input rows per scale)")
+    ap.add_argument("--gptq", action="store_true",
+                    help="quantize the INT4-bearing configs with GPTQ "
+                    "error-compensated rounding (ops/gptq.py; calibrated "
+                    "on the training corpus, act-order) instead of RTN — "
+                    "the round-4 recipe that passes the 0.5%% gate "
+                    "(QUALITY.md). INT8 stays RTN (already in-gate).")
+    ap.add_argument("--calib_samples", type=int, default=256,
+                    help="GPTQ calibration samples (--gptq)")
     ap.add_argument("--block_only", action="store_true",
                     help="train/eval only the block model (no vanilla "
                     "baseline) — e.g. the pgbytes real-task model")
@@ -383,16 +391,33 @@ def main():
     ds_hold_van = make_dataset(holdout, args.max_length, 1, seed=7)
 
     q8 = quant.quantize_block_transformer(block_params, bits=8)
-    q4 = quant.quantize_block_transformer(block_params, bits=4,
-                                          group_size=args.int4_group)
+    if args.gptq:
+        # GPTQ for the INT4-bearing configs: sequential calibration on the
+        # training corpus, act-order static groups (ops/gptq.py) — packed
+        # format identical to RTN, so everything downstream is unchanged
+        from block_transformer_tpu.data.packing import make_train_batch
+        from block_transformer_tpu.ops import gptq
+        ds_cal = make_dataset(load_corpus(args.corpus), args.max_length,
+                              cfg.block_length, seed=3)
+        calib = []
+        for s in range(0, args.calib_samples, args.eval_batch):
+            idxs = (np.arange(s, s + args.eval_batch) * 17) % len(ds_cal)
+            b = make_train_batch(ds_cal, idxs, cfg.block_length)
+            calib.append((b["input_ids"], b["attention_mask"],
+                          b["block_attention_mask"]))
+
+        def q4_fn(**kw):
+            return gptq.gptq_quantize_block_transformer(
+                block_params, cfg, calib, act_order=True, **kw)
+    else:
+        def q4_fn(**kw):
+            return quant.quantize_block_transformer(block_params, **kw)
+    q4 = q4_fn(bits=4, group_size=args.int4_group)
     # the bench's mixed48 serving config: block INT8 + token INT4 + head INT8
-    qmix = quant.quantize_block_transformer(block_params, bits=8,
-                                            token_decoder_bits=4,
-                                            lm_head_bits=8,
-                                            group_size=args.int4_group)
+    qmix = q4_fn(bits=8, token_decoder_bits=4, lm_head_bits=8,
+                 group_size=args.int4_group)
     # the QUALITY.md gate-passing INT4 recipe: g32 groups + INT8 LM head
-    q4_gate = quant.quantize_block_transformer(block_params, bits=4,
-                                               lm_head_bits=8, group_size=32)
+    q4_gate = q4_fn(bits=4, lm_head_bits=8, group_size=32)
 
     results = {"steps": args.steps, "batch": args.batch,
                "max_length": args.max_length,
