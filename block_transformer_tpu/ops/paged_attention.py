@@ -78,36 +78,41 @@ def _paged_kernel(H: int, Sp: int, ps: int, nbt: int, npp: int, scale: float):
         multi = pl.num_programs(1) > 1
 
         cdt = q_ref.dtype
-        q = q_ref[:]                                           # [nbt,H,Sp,D]
+        # Mosaic's tpu.matmul supports at most ONE batch dim: fuse
+        # (slot-in-tile, head) into a single leading batch axis R = nbt*H
+        R = nbt * H
+        q = q_ref[:].reshape(R, Sp, -1)                        # [R,Sp,D]
 
         def row(refs, i, axis):
             tiles = [refs[i * npp + j][0, 0] for j in range(npp)]
             return tiles[0] if npp == 1 else jnp.concatenate(tiles, axis)
 
-        def gather(refs, axis):
+        def gather(refs, axis, tail):
             rows = [row(refs, i, axis) for i in range(nbt)]
-            return rows[0][None] if nbt == 1 else jnp.stack(rows)
+            x = rows[0][None] if nbt == 1 else jnp.stack(rows)
+            return x.reshape((R,) + tail)
 
-        k = gather(k_refs, 1).astype(cdt)                      # [nbt,H,bk,D]
-        v = gather(v_refs, 1).astype(cdt)
-        ks = gather(ks_refs, 2)                                # [nbt,H,1,bk]
-        vsc = gather(vs_refs, 2)
-        s = jax.lax.dot_general(q, k, (((3,), (3,)), ((0, 1), (0, 1))),
+        k = gather(k_refs, 1, (bk, -1)).astype(cdt)            # [R,bk,D]
+        v = gather(v_refs, 1, (bk, -1)).astype(cdt)
+        ks = gather(ks_refs, 2, (1, bk))                       # [R,1,bk]
+        vsc = gather(vs_refs, 2, (1, bk))
+        s = jax.lax.dot_general(q, k, (((2,), (2,)), ((0,), (0,))),
                                 preferred_element_type=jnp.float32)
-        s = s * (ks * scale)                                   # [nbt,H,Sp,bk]
+        s = s * (ks * scale)                                   # [R,Sp,bk]
 
         ki = kv_idx_ref[0, 0]                                  # [bk]
         qi = q_idx_ref[:].reshape(nbt, 1, Sp, 1)
         valid = kv_valid_ref[:].reshape(nbt, 1, 1, bk)
         ok = (ki.reshape(1, 1, 1, bk) <= qi) & (valid != 0)
-        s = jnp.where(jnp.broadcast_to(ok, s.shape), s, _NEG)
+        ok = jnp.broadcast_to(ok, (nbt, H, Sp, bk)).reshape(R, Sp, bk)
+        s = jnp.where(ok, s, _NEG)
 
-        m_new = jnp.max(s, axis=3, keepdims=True)              # [nbt,H,Sp,1]
+        m_new = jnp.max(s, axis=2, keepdims=True)              # [R,Sp,1]
         p = jnp.exp(s - m_new)
-        l_new = jnp.sum(p, axis=3, keepdims=True)
+        l_new = jnp.sum(p, axis=2, keepdims=True)
         p = p * vsc
         a_new = jax.lax.dot_general(p.astype(cdt), v,
-                                    (((3,), (2,)), ((0, 1), (0, 1))),
+                                    (((2,), (1,)), ((0,), (0,))),
                                     preferred_element_type=jnp.float32)
 
         if multi:
@@ -117,9 +122,8 @@ def _paged_kernel(H: int, Sp: int, ps: int, nbt: int, npp: int, scale: float):
                 m_ref[:] = jnp.full_like(m_ref, _NEG)
                 l_sum_ref[:] = jnp.zeros_like(l_sum_ref)
 
-            R = nbt * H * Sp
-            m2, l2 = m_new.reshape(R, 1), l_new.reshape(R, 1)
-            a2 = a_new.reshape(R, -1)
+            m2, l2 = m_new.reshape(R * Sp, 1), l_new.reshape(R * Sp, 1)
+            a2 = a_new.reshape(R * Sp, -1)
             m_prev = m_ref[:]
             m_tot = jnp.maximum(m_prev, m2)
             corr_p = jnp.exp(m_prev - m_tot)
