@@ -285,6 +285,7 @@ def main():
               "gate": f"|fp32_logprob_delta| <= {args.bar_pct}% relative",
               "fp32_mean_logprob_ref": lp_ref, "variants": {}}
 
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
     for name, tree, kv, env in variants:
         npz = os.path.join(tmpdir, f"{name}.npz")
         save_tree_npz(npz, tree)
@@ -292,7 +293,17 @@ def main():
                     out=os.path.join(tmpdir, f"{name}.npy"))
         env = dict(env)
         env.setdefault("BT_W8A8_M_MIN", str(10**9))
-        toks = run_variant(spec, env)
+        try:
+            toks = run_variant(spec, env)
+        except Exception as e:
+            # a tunnel flake on one variant must not lose the others:
+            # record the error row, write what we have, keep going
+            report["variants"][name] = {"error": str(e)[-500:]}
+            with open(args.out, "w") as f:
+                json.dump(report, f, indent=1)
+            print(f"[decode_gate] {name}: ERROR {str(e)[-200:]}")
+            os.remove(npz)
+            continue
         lp = fp32_lp(toks)
         delta_pct = 100 * abs(lp - lp_ref) / abs(lp_ref)
         diff = toks != toks_ref
@@ -308,10 +319,12 @@ def main():
         }
         v = report["variants"][name]
         print(f"[decode_gate] {name}: lp {lp:.4f} ({v['fp32_logprob_delta_pct']:+.3f}% "
-              f"vs ref) {v['gate']}  [agreement {v['greedy_agreement']:.3f}]")
+              f"vs ref) {v['gate']}  [agreement {v['greedy_agreement']:.3f}]",
+              flush=True)
         os.remove(npz)
+        with open(args.out, "w") as f:     # incremental: survive flakes
+            json.dump(report, f, indent=1)
 
-    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
     with open(args.out, "w") as f:
         json.dump(report, f, indent=1)
     print(f"[decode_gate] -> {args.out}")
