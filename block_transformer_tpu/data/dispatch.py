@@ -84,3 +84,24 @@ def load_corpus_from_yaml(y: dict, tokenizer=None) -> TokenizedCorpus:
                        path=y.get("pythia_pile_idxmaps_path")
                        or y.get("t5_pile_shards_path"),
                        tokenizer=tokenizer)
+
+
+def load_streaming_dataset(dataset: str, tokenizer, block_length,
+                           max_length: int, split: str = "train",
+                           **kwargs):
+    """The deprecated raw-text STREAMING route (the reference's
+    LanguageModelingDataset, custom_dataset/language_modeling_dataset.py):
+    packs samples on the fly from an HF raw-text dataset instead of
+    pre-tokenizing into a corpus. Prefer ``load_corpus`` +
+    ``PackedDataset`` (deterministic random access, the reference's own
+    recommendation since March 2024); this route exists for parity and
+    for corpora too large to pre-tokenize locally."""
+    from block_transformer_tpu.data.streaming import StreamingTextDataset
+    if dataset in HF_DATASETS:
+        name, config, field = HF_DATASETS[dataset]
+        import datasets  # local cache only (no egress)
+        dset = datasets.load_dataset(name, config, split=split)
+        return StreamingTextDataset(dset, tokenizer, block_length,
+                                    max_length, text_field=field, **kwargs)
+    raise ValueError(f"streaming route supports HF raw-text datasets "
+                     f"({sorted(HF_DATASETS)}), got {dataset!r}")
