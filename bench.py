@@ -350,11 +350,29 @@ def bench_engine(model_name: str, n_slots: int, prefill: int, decode: int,
                                               "0") == "1")))(params)
     L = cfg.block_length
     max_blocks = (prefill + decode) // L + 2
+    ekw = {}
+    if kv_cache.startswith("paged"):
+        # The bench workload is paging's degenerate case: every request is
+        # max-length, so the memory paging exists to reclaim (short/mixed
+        # prompts) is zero by construction. The engine's default pool
+        # (half the dense footprint) then admits only half the slots and
+        # the waiting queue caps decode windows at sync_blocks — measured
+        # 6 dispatches vs 2 and ~half occupancy at d64 (the real cause of
+        # the 1,175-1,188 tok/s plateau; BENCH_DETAIL_paged_r4.json).
+        # Size the pool to the workload so the race measures paging
+        # OVERHEAD (page-table indirection, per-page scatter, kernel) at
+        # iso-capacity; pool economics stay a serving-policy default.
+        n_emb = cfg.n_embedding_tokens
+        cap = max_blocks * n_emb
+        cap = -(-cap // 128) * 128 if cap >= 128 else cap
+        ps = min(256, cap)
+        n_virt = (-(-cap // ps) * ps) // ps
+        ekw["pool_pages"] = n_slots * n_virt + 1
     eng = ContinuousBatchingEngine(
         params, cfg, n_slots=n_slots, max_blocks=max_blocks,
         kv_cache=kv_cache, bucket_blocks=prefill // L,
         sync_blocks=int(os.environ.get("BT_ENGINE_SYNC_BLOCKS", "8")),
-        latency_mode=latency_mode)
+        latency_mode=latency_mode, **ekw)
     rng = np.random.default_rng(0)
 
     def submit_all():
@@ -413,10 +431,14 @@ def main():
                     default="int8",
                     help="weight quantization (BASELINE.json operating "
                     "point: int8 weights + int8 KV)")
-    ap.add_argument("--kv", choices=["bf16", "int8", "int4"], default="int4",
-                    help="global block-level KV cache dtype (int4 default: "
-                         "+5.8%% decode at 97.7%% greedy agreement vs bf16 "
-                         "KV - RESULTS.md / results/quality)")
+    ap.add_argument("--kv", choices=["bf16", "int8", "int4"], default="int8",
+                    help="global block-level KV cache dtype. Default int8: "
+                         "the ONE decode-path gate (scripts/decode_gate.py, "
+                         "results/decode_gate.json) passes int8 KV at "
+                         "+0.10%% fp32-logprob delta and FAILS every int4-KV "
+                         "pairing (+1.5-5.5%%) on the 10k checkpoint; int4 "
+                         "(+~5%% tok/s) stays an explicit opt-in whose "
+                         "quality must be gated per deployment")
     ap.add_argument("--engine_kv", default=None,
                     help="engine-mode cache override: bf16/int8/int4/paged "
                          "(default: --kv; int4 falls back to int8 here - "

