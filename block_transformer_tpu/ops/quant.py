@@ -145,6 +145,94 @@ def quantize_model_params(params, bits: int = 8, skip_paths=(),
     return walk(params, ())
 
 
+# ---------------------------------------------------------------------------
+# Fake-quant (QAT): straight-through quantize->dequantize on the SAME grid
+# ---------------------------------------------------------------------------
+
+
+def _qdq_int8(w):
+    """Quantize->dequantize roundtrip, numerically identical to
+    quantize_int8 + dequantize_int8 (same scales, same rounding)."""
+    wf = w.astype(jnp.float32)
+    scale = jnp.maximum(jnp.max(jnp.abs(wf), axis=0), 1e-8) / 127.0
+    q = jnp.clip(jnp.round(wf / scale), -127, 127)
+    return (q * scale).astype(w.dtype)
+
+
+def _qdq_int4(w, group_size: int = 128):
+    """Roundtrip identical to quantize_int4 + dequantize_int4 (group-wise
+    absmax scales; the packing is lossless so it is skipped)."""
+    K = w.shape[0]
+    gs = _int4_group_size(K, group_size)
+    wf = w.astype(jnp.float32)
+    wg = wf.reshape(K // gs, gs, -1)
+    scale = jnp.maximum(jnp.max(jnp.abs(wg), axis=1, keepdims=True),
+                        1e-8) / 7.0
+    q = jnp.clip(jnp.round(wg / scale), -7, 7)
+    return (q * scale).reshape(wf.shape).astype(w.dtype)
+
+
+def _ste(w, qdq):
+    """Straight-through estimator: forward sees qdq(w), backward sees
+    identity (round/clip have zero gradient almost everywhere)."""
+    return w + jax.lax.stop_gradient(qdq - w)
+
+
+def fake_quant_linear(node: dict, bits: int, group_size: int = 128):
+    kernel = node["kernel"]
+    qdq = (_qdq_int8 if bits == 8
+           else lambda w: _qdq_int4(w, group_size=group_size))
+    if kernel.ndim == 3:
+        fq = jax.vmap(qdq)(kernel)
+    else:
+        fq = qdq(kernel)
+    out = dict(node)
+    out["kernel"] = _ste(kernel, fq)
+    return out
+
+
+def fake_quant_model_params(params, bits: int = 8, skip_paths=(),
+                            group_size: int = 128):
+    def walk(node, path):
+        if _is_linear(node):
+            if any(all(s in path for s in sp) if isinstance(sp, tuple)
+                   else sp in path for sp in skip_paths):
+                return node
+            return fake_quant_linear(node, bits, group_size=group_size)
+        if isinstance(node, dict):
+            return {k: walk(v, path + (k,)) for k, v in node.items()}
+        return node
+
+    return walk(params, ())
+
+
+def fake_quant_block_transformer(params, bits: int = 8,
+                                 group_size: int = 128,
+                                 token_decoder_bits: int = None,
+                                 lm_head_bits: int = None):
+    """QAT transform: the same kernel selection and quantization grid as
+    quantize_block_transformer, but as an in-graph quantize->dequantize
+    with straight-through gradients. Train with
+    make_train_step(..., param_transform=this); afterwards
+    quantize_block_transformer with the SAME arguments rounds the adapted
+    master weights onto exactly the grid the loss optimized against.
+    """
+    td_bits = bits if token_decoder_bits is None else token_decoder_bits
+    out = dict(params)
+    out["block_decoder"] = fake_quant_model_params(
+        params["block_decoder"], bits, group_size=group_size)
+    skip = ("embed_out",) if lm_head_bits is not None else ()
+    out["token_decoder"] = fake_quant_model_params(
+        params["token_decoder"], td_bits, group_size=group_size,
+        skip_paths=skip)
+    if lm_head_bits is not None:
+        out["token_decoder"] = dict(out["token_decoder"])
+        out["token_decoder"]["embed_out"] = fake_quant_linear(
+            params["token_decoder"]["embed_out"], lm_head_bits,
+            group_size=group_size)
+    return out
+
+
 def quantize_block_transformer(params, bits: int = 8, group_size: int = 128,
                                skip_lm_head: bool = False,
                                token_decoder_bits: int = None,

@@ -27,8 +27,15 @@ class TrainState(NamedTuple):
     step: jax.Array
 
 
-def make_loss_fn(cfg: BlockTransformerConfig, remat: bool = True):
+def make_loss_fn(cfg: BlockTransformerConfig, remat: bool = True,
+                 param_transform=None):
+    """``param_transform`` maps the param tree before the forward (e.g.
+    ops/quant.fake_quant_block_transformer for QAT: the straight-through
+    estimator keeps grads flowing to the master fp weights while the loss
+    sees the quantization grid the deployed model will round onto)."""
     def loss_fn(params, batch):
+        if param_transform is not None:
+            params = param_transform(params)
         out = bt.block_transformer_forward(
             params, cfg, batch["input_ids"], batch["attention_mask"],
             batch["block_attention_mask"], labels=batch["labels"],
@@ -47,8 +54,9 @@ def make_loss_fn(cfg: BlockTransformerConfig, remat: bool = True):
     return loss_fn
 
 
-def make_train_step(cfg: BlockTransformerConfig, tx, remat: bool = True):
-    loss_fn = make_loss_fn(cfg, remat)
+def make_train_step(cfg: BlockTransformerConfig, tx, remat: bool = True,
+                    param_transform=None):
+    loss_fn = make_loss_fn(cfg, remat, param_transform=param_transform)
 
     def train_step(state: TrainState, batch):
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(

@@ -29,6 +29,7 @@ Variants measured (all on the 10k TPU-trained checkpoint, same prompts):
   int8w_int4kv   INT8 weights + INT4 KV          (serving default)
   mixed48_int4kv mixed48 weights + INT4 KV
   mixed48_int8kv mixed48 weights + INT8 KV
+  int4w_int8kv   whole-model INT4 g128 + INT8 KV   (QAT int4g128 recipe)
   gptq_mixed48_int4kv  GPTQ mixed48 + INT4 KV    (--gptq)
   gptq_mixed48_int8kv  GPTQ mixed48 + INT8 KV    (--gptq)
   w8a8_int8w_int8kv    + BT_W8A8_M_MIN=384       (TPU only: --w8a8)
@@ -235,6 +236,10 @@ def main():
         # the INT4-weight recipes paired with the PASSing KV precision —
         # the serving-relevant combination when INT4-KV fails the gate
         ("mixed48_int8kv", qmix, "int8", {}),
+        # whole-model INT4 g128 (the QAT int4g128 recipe's deployment)
+        ("int4w_int8kv",
+         quant.quantize_block_transformer(params, bits=4, group_size=128),
+         "int8", {}),
     ]
     if args.gptq:
         from block_transformer_tpu.ops import gptq
