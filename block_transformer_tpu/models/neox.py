@@ -410,6 +410,12 @@ def neox_stack(params, x, *, cfg: NeoXConfig, mask, positions,
 
         kv_dtype = cache.k.dtype
 
+        import os as _os
+        # probe-only switch (scripts/paged_stage_probe.py): skip the page
+        # write-scatter so its cost can be isolated from the read kernel's
+        # on chip. Read at trace time; NEVER set outside the probe.
+        nowrite = _os.environ.get("BT_PAGED_PROBE_NOWRITE") == "1"
+
         def body(carry, i):
             h, ck, cv, cks, cvs = carry
             p = layer_view(layers, i)
@@ -419,10 +425,11 @@ def neox_stack(params, x, *, cfg: NeoXConfig, mask, positions,
             vq, vs = quantize_kv(v, kv_dtype)
             # advanced-index scatter: (page, off) pairs per (b, s); the
             # advanced result group moves to the front -> values [B, S, H, *]
-            ck = ck.at[i, page, :, off].set(kq.transpose(0, 2, 1, 3))
-            cv = cv.at[i, page, :, off].set(vq.transpose(0, 2, 1, 3))
-            cks = cks.at[i, page, :, off].set(ks.transpose(0, 2, 1))
-            cvs = cvs.at[i, page, :, off].set(vs.transpose(0, 2, 1))
+            if not nowrite:
+                ck = ck.at[i, page, :, off].set(kq.transpose(0, 2, 1, 3))
+                cv = cv.at[i, page, :, off].set(vq.transpose(0, 2, 1, 3))
+                cks = cks.at[i, page, :, off].set(ks.transpose(0, 2, 1))
+                cvs = cvs.at[i, page, :, off].set(vs.transpose(0, 2, 1))
             from block_transformer_tpu.ops import paged_attention
             attn = paged_attention.paged_decode_attention_int8(
                 q, ck, cks, cv, cvs, i, pt, mask, interpret=interp
