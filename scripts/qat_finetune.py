@@ -59,6 +59,13 @@ def main():
                     "cosine; QAT only needs to nudge weights onto the "
                     "grid, not relearn)")
     ap.add_argument("--vocab", type=int, default=512)
+    ap.add_argument("--distill", action="store_true",
+                    help="QAT-KD: train the fake-quant student against the "
+                    "SOURCE checkpoint's fp32 logits (KL) instead of the "
+                    "data CE — the direct analogue of the decode gate's "
+                    "'does the fp32 model find the quantized output "
+                    "likely', and immune to the corpus memorization a "
+                    "data-CE finetune drifts into")
     ap.add_argument("--out_dir", default="")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
@@ -98,9 +105,41 @@ def main():
 
     transform = functools.partial(quant.fake_quant_block_transformer,
                                   **RECIPES[args.recipe])
-    step_fn = jax.jit(ts.make_train_step(cfg, tx, remat=True,
-                                         param_transform=transform),
-                      donate_argnums=(0,))
+    if args.distill:
+        from block_transformer_tpu.models import block_transformer as bt
+        # frozen source weights: an independent COPY — state.params is
+        # donated every step, which would delete aliased teacher buffers
+        teacher = jax.tree.map(jnp.copy, params)
+
+        def kd_loss(p, batch):
+            ids, am, bam = (batch["input_ids"], batch["attention_mask"],
+                            batch["block_attention_mask"])
+            ls = bt.block_transformer_forward(
+                transform(p), cfg, ids, am, bam, remat=True).logits
+            lt = jax.lax.stop_gradient(bt.block_transformer_forward(
+                teacher, cfg, ids, am, bam, remat=True).logits)
+            kl = jnp.sum(jax.nn.softmax(lt, -1)
+                         * (jax.nn.log_softmax(lt, -1)
+                            - jax.nn.log_softmax(ls, -1)), -1)
+            # logits cover blocks 1..N-1; labels carry -100 on padding
+            w = (batch["labels"][:, 1:, :] != -100).astype(jnp.float32)
+            loss = jnp.sum(kl * w) / jnp.maximum(jnp.sum(w), 1.0)
+            return loss, {"loss": loss}
+
+        def step_fn_py(state, batch):
+            (loss, metrics), grads = jax.value_and_grad(
+                kd_loss, has_aux=True)(state.params, batch)
+            updates, opt_state = tx.update(grads, state.opt_state,
+                                           state.params)
+            new_p = jax.tree.map(lambda a, u: a + u.astype(a.dtype),
+                                 state.params, updates)
+            return ts.TrainState(new_p, opt_state, state.step + 1), metrics
+
+        step_fn = jax.jit(step_fn_py, donate_argnums=(0,))
+    else:
+        step_fn = jax.jit(ts.make_train_step(cfg, tx, remat=True,
+                                             param_transform=transform),
+                          donate_argnums=(0,))
 
     import importlib.util
     spec = importlib.util.spec_from_file_location(
@@ -134,6 +173,7 @@ def main():
     model_dir = os.path.join(out_dir, args.model)
     path = ckpt.save_checkpoint(model_dir, args.steps, state)
     meta = {"recipe": args.recipe, "recipe_kwargs": RECIPES[args.recipe],
+            "distill": bool(args.distill),
             "source": args.model_dir, "source_step": src_step,
             "steps": args.steps, "lr": args.lr, "batch": args.batch,
             "train_s": dt, "losses_per_100": losses}
