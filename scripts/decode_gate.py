@@ -156,6 +156,13 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model_dir",
                     default="results/quality10k/block_main_b4_5")
+    ap.add_argument("--variant_model_dir", default=None,
+                    help="build the QUANTIZED variant trees from this "
+                    "checkpoint while the reference decode + fp32 scorer "
+                    "stay on --model_dir. This is the deployment question "
+                    "for a QAT checkpoint: 'you served model X in fp32; "
+                    "you now serve quantized QAT(X) - does the ORIGINAL "
+                    "model find the new decode as likely as its own?'")
     ap.add_argument("--corpus", default="/root/corpus/pybytes_holdout")
     ap.add_argument("--train_corpus", default="/root/corpus/pybytes",
                     help="GPTQ calibration corpus (--gptq)")
@@ -204,6 +211,12 @@ def main():
                      max_length=args.max_length)
     params, step = load_params(args.model_dir, cfg, args.lr, args.steps)
     print(f"[decode_gate] checkpoint step {step}")
+    vparams = params
+    if args.variant_model_dir:
+        vparams, vstep = load_params(args.variant_model_dir, cfg,
+                                     args.lr, args.steps)
+        print(f"[decode_gate] variant checkpoint step {vstep} "
+              f"({args.variant_model_dir})")
 
     # ---- prompts from the holdout corpus ----
     mm = MMapIndexedDataset(args.corpus)
@@ -222,14 +235,14 @@ def main():
 
     # ---- variant trees (built once, shipped to workers via npz) ----
     tmpdir = tempfile.mkdtemp(prefix="decode_gate_")
-    q8 = quant.quantize_block_transformer(params, bits=8)
-    qmix = quant.quantize_block_transformer(params, bits=8,
+    q8 = quant.quantize_block_transformer(vparams, bits=8)
+    qmix = quant.quantize_block_transformer(vparams, bits=8,
                                             token_decoder_bits=4,
                                             lm_head_bits=8, group_size=128)
     variants = [
         # name, tree, kv_cache, env
-        ("int8kv", params, "int8", {}),
-        ("int4kv", params, "int4", {}),
+        ("int8kv", vparams, "int8", {}),
+        ("int4kv", vparams, "int4", {}),
         ("int8w_int8kv", q8, "int8", {}),
         ("int8w_int4kv", q8, "int4", {}),
         ("mixed48_int4kv", qmix, "int4", {}),
@@ -238,7 +251,7 @@ def main():
         ("mixed48_int8kv", qmix, "int8", {}),
         # whole-model INT4 g128 (the QAT int4g128 recipe's deployment)
         ("int4w_int8kv",
-         quant.quantize_block_transformer(params, bits=4, group_size=128),
+         quant.quantize_block_transformer(vparams, bits=4, group_size=128),
          "int8", {}),
     ]
     if args.gptq:
@@ -259,7 +272,7 @@ def main():
             calib.append((b["input_ids"], b["attention_mask"],
                           b["block_attention_mask"]))
         qg = gptq.gptq_quantize_block_transformer(
-            params, cfg, calib, bits=8, token_decoder_bits=4, lm_head_bits=8,
+            vparams, cfg, calib, bits=8, token_decoder_bits=4, lm_head_bits=8,
             group_size=128, act_order=True)
         variants.append(("gptq_mixed48_int4kv", qg, "int4", {}))
         variants.append(("gptq_mixed48_int8kv", qg, "int8", {}))
