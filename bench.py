@@ -450,23 +450,28 @@ def main():
     ap.add_argument("--engine", action="store_true",
                     help="also benchmark the continuous-batching engine")
     ap.add_argument("--engine_slots", type=int, default=16)
+    ap.add_argument("--engine_only", action="store_true",
+                    help="skip the static block/vanilla benches (engine "
+                    "slot-scaling rows reuse the committed static numbers)")
     ap.add_argument("--detail_out", default="BENCH_DETAIL.json")
     args = ap.parse_args()
 
     import sys
+    import gc
 
     _enable_compile_cache()
-    block_tps, block_batch, block_detail = bench_block(
-        args.model, args.batch, args.prefill, args.decode, args.dtype,
-        args.quantize, args.kv, args.attn_impl)
-    print(f"[bench] block: {block_tps:.1f} tok/s at b{block_batch} "
-          f"(std {block_detail['std_s']:.3f}s over {block_detail['reps']}; "
-          f"{block_detail['ms_per_token']:.4f} ms/tok; decomposition: "
-          f"block {block_detail.get('block_decoder_ms_per_block_step', 0):.2f} "
-          f"/ token {block_detail.get('token_decoder_ms_per_block_step', 0):.2f}"
-          f" ms per block step)", file=sys.stderr, flush=True)
-    import gc
-    gc.collect()
+    block_tps, block_batch, block_detail = 0.0, 0, {}
+    if not args.engine_only:
+        block_tps, block_batch, block_detail = bench_block(
+            args.model, args.batch, args.prefill, args.decode, args.dtype,
+            args.quantize, args.kv, args.attn_impl)
+        print(f"[bench] block: {block_tps:.1f} tok/s at b{block_batch} "
+              f"(std {block_detail['std_s']:.3f}s over {block_detail['reps']}; "
+              f"{block_detail['ms_per_token']:.4f} ms/tok; decomposition: "
+              f"block {block_detail.get('block_decoder_ms_per_block_step', 0):.2f} "
+              f"/ token {block_detail.get('token_decoder_ms_per_block_step', 0):.2f}"
+              f" ms per block step)", file=sys.stderr, flush=True)
+        gc.collect()
 
     engine_detail = {}
     if args.engine:
@@ -493,6 +498,22 @@ def main():
               f"ttft_p50={lat_detail['latency'].get('ttft_s_p50', -1):.2f}s)",
               file=sys.stderr, flush=True)
         gc.collect()
+
+    if args.engine_only:
+        with open(args.detail_out, "w") as f:
+            json.dump({"engine": engine_detail, "engine_only": True,
+                       "engine_slots": args.engine_slots,
+                       "regime": {"prefill": args.prefill,
+                                  "decode": args.decode,
+                                  "quantize": args.quantize,
+                                  "kv": args.kv}}, f, indent=2)
+        print(json.dumps({
+            "metric": f"engine_tokens_per_sec[{args.model} "
+                      f"slots{args.engine_slots} p{args.prefill}/"
+                      f"d{args.decode}]",
+            "value": round(engine_detail.get("engine_tok_per_s", 0.0), 1),
+            "unit": "tok/s", "vs_baseline": None}))
+        return
 
     vanilla_tps, vanilla_batch, van_detail = bench_vanilla(
         args.vanilla, args.vanilla_batch or args.batch, args.prefill,

@@ -416,6 +416,16 @@ def neox_stack(params, x, *, cfg: NeoXConfig, mask, positions,
         # on chip. Read at trace time; NEVER set outside the probe.
         nowrite = _os.environ.get("BT_PAGED_PROBE_NOWRITE") == "1"
 
+        # single-position decode steps write through the Pallas scatter
+        # kernel (page/off resolved in index maps, pool aliased in place):
+        # the XLA advanced-index scatter serialized per row and cost ~60%
+        # of paged decode (BENCH_DETAIL_paged_nowrite.json analysis).
+        # Multi-position writes (prefill-style) keep the XLA scatter — the
+        # kernel's scale RMW forbids touching one page twice per launch.
+        write_kernel = (S == 1 and kv_dtype == jnp.int8
+                        and _os.environ.get("BT_PAGED_WRITE", "kernel")
+                        != "xla")
+
         def body(carry, i):
             h, ck, cv, cks, cvs = carry
             p = layer_view(layers, i)
@@ -425,7 +435,15 @@ def neox_stack(params, x, *, cfg: NeoXConfig, mask, positions,
             vq, vs = quantize_kv(v, kv_dtype)
             # advanced-index scatter: (page, off) pairs per (b, s); the
             # advanced result group moves to the front -> values [B, S, H, *]
-            if not nowrite:
+            if nowrite:
+                pass
+            elif write_kernel:
+                from block_transformer_tpu.ops import paged_attention
+                ck, cks, cv, cvs = paged_attention.paged_write_int8(
+                    ck, cks, cv, cvs, i, page[:, 0], off[:, 0],
+                    kq[:, :, 0, :], ks[:, :, 0], vq[:, :, 0, :],
+                    vs[:, :, 0], interpret=interp)
+            else:
                 ck = ck.at[i, page, :, off].set(kq.transpose(0, 2, 1, 3))
                 cv = cv.at[i, page, :, off].set(vq.transpose(0, 2, 1, 3))
                 cks = cks.at[i, page, :, off].set(ks.transpose(0, 2, 1))

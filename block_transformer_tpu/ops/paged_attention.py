@@ -297,3 +297,120 @@ def paged_decode_attention_int8(q, k_q, k_s, v_q, v_s, layer, page_table,
                        q_idx.astype(jnp.int32), mask.kv_idx.astype(jnp.int32),
                        kv_valid.astype(jnp.int32), nbt=nbt, npp=npp,
                        interpret=interpret)
+
+
+# ---------------------------------------------------------------------------
+# Paged WRITE scatter (round 4)
+# ---------------------------------------------------------------------------
+#
+# The round-4 probe (BENCH_DETAIL_paged_nowrite.json vs _paged_r4b) showed
+# the read kernel + page indirection cost ~1% vs the contiguous engine —
+# while the XLA advanced-index scatter that WRITES each decode step's K/V
+# into the pool cost the other ~60% (1,174 vs 2,936 tok/s at d64): XLA
+# lowers the gather-indexed scatter into a serialized per-row loop. The
+# fix is the same trick as the read path: resolve (page, offset) in the
+# pallas_call index maps (scalar prefetch) and let the DMA engine place
+# each row's K/V tile directly, with the pool aliased in place
+# (input_output_aliases), so untouched pages are never copied.
+#
+# Two layouts per write:
+#   values [L, P, H, ps, D]: a direct sub-block store (1, 1, H, 1, D) at
+#     (layer, page[b], 0, off[b], 0) — write-only, no hazard;
+#   scales [L, P, H, ps]: off indexes the LANE dim, so a width-1 lane
+#     store is degenerate — instead read-modify-write the page's whole
+#     (H, ps) scale row and blend the new scale in with an iota mask.
+#
+# Constraint: one position per slot per call (S == 1, the decode-window
+# step). With S > 1 a slot writes the same page twice in one launch and
+# the scale RMW's pipelined input DMA could read a stale row — callers
+# keep the XLA scatter for multi-position (prefill-style) writes. Dead
+# slots all point at null page 0; their RMW collision only corrupts page
+# 0's scales, which every read masks out.
+
+
+def _paged_write_kernel(H, ps, D):
+    def kernel(layer_ref, page_ref, off_ref,
+               kq_ref, ks_ref, vq_ref, vs_ref,
+               kin_ref, ksin_ref, vin_ref, vsin_ref,
+               ko_ref, kso_ref, vo_ref, vso_ref):
+        del layer_ref, page_ref, kin_ref, vin_ref
+        b = pl.program_id(0)
+        off = off_ref[b, 0]
+        ko_ref[...] = kq_ref[...].reshape(ko_ref.shape)
+        vo_ref[...] = vq_ref[...].reshape(vo_ref.shape)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, H, ps), 3)
+        m = lane == off
+        kso_ref[...] = jnp.where(m, ks_ref[...].reshape(1, 1, H, 1),
+                                 ksin_ref[...])
+        vso_ref[...] = jnp.where(m, vs_ref[...].reshape(1, 1, H, 1),
+                                 vsin_ref[...])
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def paged_write_int8(k_pool, ks_pool, v_pool, vs_pool, layer, page, off,
+                     kq, ks, vq, vs, *, interpret: bool = False):
+    """Scatter one decode step's quantized K/V into the paged pool, in
+    place.
+
+    k_pool/v_pool int8 [L, P, H, ps, D]; ks_pool/vs_pool f32
+    [L, P, H, ps]; layer scalar int32; page/off int32 [B] (each slot's
+    target page and in-page offset); kq/vq int8 [B, H, D]; ks/vs f32
+    [B, H]. Returns the four updated pools (aliased — zero-copy for
+    untouched pages).
+    """
+    L, P, H, ps, D = k_pool.shape
+    B = page.shape[0]
+
+    def kv_new_spec():
+        return pl.BlockSpec((1, 1, H, D),
+                            lambda b, l, pg, of: (b, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    def sc_new_spec():
+        return pl.BlockSpec((1, 1, H),
+                            lambda b, l, pg, of: (b, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    def pool_val_spec():
+        return pl.BlockSpec((1, 1, H, 1, D),
+                            lambda b, l, pg, of: (l[0], pg[b, 0], 0,
+                                                  of[b, 0], 0),
+                            memory_space=pltpu.VMEM)
+
+    def pool_sc_spec():
+        return pl.BlockSpec((1, 1, H, ps),
+                            lambda b, l, pg, of: (l[0], pg[b, 0], 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(B,),
+        in_specs=[kv_new_spec(), sc_new_spec(), kv_new_spec(), sc_new_spec(),
+                  pool_val_spec(), pool_sc_spec(),
+                  pool_val_spec(), pool_sc_spec()],
+        out_specs=[pool_val_spec(), pool_sc_spec(),
+                   pool_val_spec(), pool_sc_spec()],
+    )
+    outs = pl.pallas_call(
+        _paged_write_kernel(H, ps, D),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct(k_pool.shape, k_pool.dtype),
+            jax.ShapeDtypeStruct(ks_pool.shape, ks_pool.dtype),
+            jax.ShapeDtypeStruct(v_pool.shape, v_pool.dtype),
+            jax.ShapeDtypeStruct(vs_pool.shape, vs_pool.dtype),
+        ],
+        # flattened input order: layer(0) page(1) off(2) kq(3) ks(4) vq(5)
+        # vs(6) k_pool(7) ks_pool(8) v_pool(9) vs_pool(10)
+        input_output_aliases={7: 0, 8: 1, 9: 2, 10: 3},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(jnp.asarray(layer, jnp.int32).reshape(1),
+      page.astype(jnp.int32).reshape(B, 1),
+      off.astype(jnp.int32).reshape(B, 1),
+      kq[:, None], ks[:, None], vq[:, None], vs[:, None],
+      k_pool, ks_pool, v_pool, vs_pool)
+    return outs

@@ -126,3 +126,39 @@ def test_paged_full_tile(monkeypatch):
     monkeypatch.setenv("BT_PAGED_NBT", "4")
     monkeypatch.setenv("BT_PAGED_NPP", "4")
     test_paged_matches_contiguous()
+
+
+def test_paged_write_kernel_matches_xla_scatter():
+    """paged_write_int8 (interpret) == the XLA advanced-index scatter."""
+    import numpy as np
+    from block_transformer_tpu.ops import paged_attention
+
+    rng = np.random.default_rng(0)
+    L, P, H, ps, D = 3, 9, 4, 16, 128
+    B = 5
+    k_pool = jnp.asarray(rng.integers(-7, 8, (L, P, H, ps, D)), jnp.int8)
+    v_pool = jnp.asarray(rng.integers(-7, 8, (L, P, H, ps, D)), jnp.int8)
+    ks_pool = jnp.asarray(rng.normal(size=(L, P, H, ps)), jnp.float32)
+    vs_pool = jnp.asarray(rng.normal(size=(L, P, H, ps)), jnp.float32)
+    # distinct pages: engine slots own disjoint pages (the kernel's scale
+    # RMW contract; only dead slots share the masked null page 0)
+    page = jnp.asarray(rng.permutation(np.arange(1, P))[:B], jnp.int32)
+    off = jnp.asarray(rng.integers(0, ps, B), jnp.int32)
+    kq = jnp.asarray(rng.integers(-7, 8, (B, H, D)), jnp.int8)
+    vq = jnp.asarray(rng.integers(-7, 8, (B, H, D)), jnp.int8)
+    ks = jnp.asarray(rng.normal(size=(B, H)), jnp.float32)
+    vs = jnp.asarray(rng.normal(size=(B, H)), jnp.float32)
+    layer = 1
+
+    nk, nks, nv, nvs = paged_attention.paged_write_int8(
+        k_pool, ks_pool, v_pool, vs_pool, layer, page, off,
+        kq, ks, vq, vs, interpret=True)
+
+    rk = k_pool.at[layer, page, :, off].set(kq)
+    rv = v_pool.at[layer, page, :, off].set(vq)
+    rks = ks_pool.at[layer, page, :, off].set(ks)
+    rvs = vs_pool.at[layer, page, :, off].set(vs)
+    np.testing.assert_array_equal(np.asarray(nk), np.asarray(rk))
+    np.testing.assert_array_equal(np.asarray(nv), np.asarray(rv))
+    np.testing.assert_allclose(np.asarray(nks), np.asarray(rks), atol=0)
+    np.testing.assert_allclose(np.asarray(nvs), np.asarray(rvs), atol=0)
