@@ -313,19 +313,28 @@ def paged_decode_attention_int8(q, k_q, k_s, v_q, v_s, layer, page_table,
 # each row's K/V tile directly, with the pool aliased in place
 # (input_output_aliases), so untouched pages are never copied.
 #
-# Two layouts per write:
-#   values [L, P, H, ps, D]: a direct sub-block store (1, 1, H, 1, D) at
-#     (layer, page[b], 0, off[b], 0) — write-only, no hazard;
-#   scales [L, P, H, ps]: off indexes the LANE dim, so a width-1 lane
-#     store is degenerate — instead read-modify-write the page's whole
-#     (H, ps) scale row and blend the new scale in with an iota mask.
+# Mosaic requires the last two block dims to be 8/128-divisible (or the
+# full array dim), so a width-1 position store is not expressible; both
+# layouts are small read-modify-writes instead:
+#   values [L, P, H, ps, D]: RMW a (1, 1, H, _VSUB, D) sub-tile at
+#     (layer, page[b], 0, off[b] // _VSUB, 0), blending the new position
+#     at off[b] % _VSUB with an iota mask (32 sublanes = the int8 tile);
+#   scales [L, P, H, ps]: off indexes the LANE dim — RMW a
+#     (1, 1, H, _SSUB) lane block at off[b] // _SSUB, blend at
+#     off[b] % _SSUB.
+# Per step that moves ~2 x (H*_VSUB*D + H*_SSUB*4) bytes per K/V pair —
+# ~6% of what decode attention already reads per step, vs the whole-page
+# RMW alternative which would have doubled the paged decode's traffic.
 #
 # Constraint: one position per slot per call (S == 1, the decode-window
-# step). With S > 1 a slot writes the same page twice in one launch and
-# the scale RMW's pipelined input DMA could read a stale row — callers
-# keep the XLA scatter for multi-position (prefill-style) writes. Dead
-# slots all point at null page 0; their RMW collision only corrupts page
-# 0's scales, which every read masks out.
+# step). With S > 1 a slot writes the same page sub-tile twice in one
+# launch and the RMW's pipelined input DMA could read a stale block —
+# callers keep the XLA scatter for multi-position (prefill-style)
+# writes. Dead slots all point at null page 0; their RMW collision only
+# corrupts page 0, which every read masks out.
+
+_VSUB = 32     # value sub-tile sublanes (int8 tile height)
+_SSUB = 128    # scale sub-block lanes
 
 
 def _paged_write_kernel(H, ps, D):
@@ -333,16 +342,22 @@ def _paged_write_kernel(H, ps, D):
                kq_ref, ks_ref, vq_ref, vs_ref,
                kin_ref, ksin_ref, vin_ref, vsin_ref,
                ko_ref, kso_ref, vo_ref, vso_ref):
-        del layer_ref, page_ref, kin_ref, vin_ref
+        del layer_ref, page_ref
         b = pl.program_id(0)
         off = off_ref[b, 0]
-        ko_ref[...] = kq_ref[...].reshape(ko_ref.shape)
-        vo_ref[...] = vq_ref[...].reshape(vo_ref.shape)
-        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, H, ps), 3)
-        m = lane == off
-        kso_ref[...] = jnp.where(m, ks_ref[...].reshape(1, 1, H, 1),
+        vsub = min(_VSUB, ps)
+        ssub = min(_SSUB, ps)
+        pos = jax.lax.broadcasted_iota(jnp.int32, (1, 1, H, vsub, 1), 3)
+        mv = pos == off % vsub
+        ko_ref[...] = jnp.where(mv, kq_ref[...].reshape(1, 1, H, 1, D),
+                                kin_ref[...])
+        vo_ref[...] = jnp.where(mv, vq_ref[...].reshape(1, 1, H, 1, D),
+                                vin_ref[...])
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, H, ssub), 3)
+        ms = lane == off % ssub
+        kso_ref[...] = jnp.where(ms, ks_ref[...].reshape(1, 1, H, 1),
                                  ksin_ref[...])
-        vso_ref[...] = jnp.where(m, vs_ref[...].reshape(1, 1, H, 1),
+        vso_ref[...] = jnp.where(ms, vs_ref[...].reshape(1, 1, H, 1),
                                  vsin_ref[...])
 
     return kernel
@@ -373,15 +388,20 @@ def paged_write_int8(k_pool, ks_pool, v_pool, vs_pool, layer, page, off,
                             lambda b, l, pg, of: (b, 0, 0),
                             memory_space=pltpu.VMEM)
 
+    vsub = min(_VSUB, ps)
+    ssub = min(_SSUB, ps)
+    assert ps % vsub == 0 and ps % ssub == 0, (ps, vsub, ssub)
+
     def pool_val_spec():
-        return pl.BlockSpec((1, 1, H, 1, D),
+        return pl.BlockSpec((1, 1, H, vsub, D),
                             lambda b, l, pg, of: (l[0], pg[b, 0], 0,
-                                                  of[b, 0], 0),
+                                                  of[b, 0] // vsub, 0),
                             memory_space=pltpu.VMEM)
 
     def pool_sc_spec():
-        return pl.BlockSpec((1, 1, H, ps),
-                            lambda b, l, pg, of: (l[0], pg[b, 0], 0, 0),
+        return pl.BlockSpec((1, 1, H, ssub),
+                            lambda b, l, pg, of: (l[0], pg[b, 0], 0,
+                                                  of[b, 0] // ssub),
                             memory_space=pltpu.VMEM)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
