@@ -241,6 +241,11 @@ def main():
                                             lm_head_bits=8, group_size=128)
     variants = [
         # name, tree, kv_cache, env
+        # control row for --variant_model_dir: the variant checkpoint's
+        # UNQUANTIZED decode vs the reference — isolates model drift from
+        # quantization error (identical to the reference when
+        # variant_model_dir is unset)
+        ("fp32_bf16kv", vparams, "bf16", {}),
         ("int8kv", vparams, "int8", {}),
         ("int4kv", vparams, "int4", {}),
         ("int8w_int8kv", q8, "int8", {}),
