@@ -396,22 +396,36 @@ class ContinuousBatchingEngine:
                 ps = cache.page_size
                 nv = cap // ps
                 pt_rows = cache.page_table[slots]            # [G, nv]
+                if cache.k.dtype == jnp.int8:
+                    # page-granular Pallas copy: index maps place each
+                    # row's pages directly, pool aliased in place — the
+                    # XLA gather-indexed scatter serialized per page
+                    # (paged admit measured 0.29 s vs 0.13 s contiguous)
+                    from block_transformer_tpu.ops import paged_attention
+                    interp = jax.devices()[0].platform != "tpu"
+                    nk, nks, nv_, nvs = paged_attention.paged_page_copy_int8(
+                        cache.k, cache.k_scale, cache.v, cache.v_scale,
+                        pt_rows, row_cache.k, row_cache.k_scale,
+                        row_cache.v, row_cache.v_scale, interpret=interp)
+                    new_cache = cache._replace(k=nk, v=nv_, k_scale=nks,
+                                               v_scale=nvs)
+                else:
+                    def paged_vals(a):
+                        if a.ndim == 5:
+                            Lx, Gx, Hx, cx, Dx = a.shape
+                            return a.reshape(Lx, Gx, Hx, nv, ps, Dx
+                                             ).transpose(0, 1, 3, 2, 4, 5)
+                        Lx, Gx, Hx, cx = a.shape
+                        return a.reshape(Lx, Gx, Hx, nv, ps
+                                         ).transpose(0, 1, 3, 2, 4)
 
-                def paged_vals(a):
-                    if a.ndim == 5:
-                        Lx, Gx, Hx, cx, Dx = a.shape
-                        return a.reshape(Lx, Gx, Hx, nv, ps, Dx
-                                         ).transpose(0, 1, 3, 2, 4, 5)
-                    Lx, Gx, Hx, cx = a.shape
-                    return a.reshape(Lx, Gx, Hx, nv, ps).transpose(0, 1, 3, 2, 4)
-
-                new_cache = cache._replace(
-                    k=cache.k.at[:, pt_rows].set(paged_vals(row_cache.k)),
-                    v=cache.v.at[:, pt_rows].set(paged_vals(row_cache.v)),
-                    k_scale=cache.k_scale.at[:, pt_rows].set(
-                        paged_vals(row_cache.k_scale)),
-                    v_scale=cache.v_scale.at[:, pt_rows].set(
-                        paged_vals(row_cache.v_scale)))
+                    new_cache = cache._replace(
+                        k=cache.k.at[:, pt_rows].set(paged_vals(row_cache.k)),
+                        v=cache.v.at[:, pt_rows].set(paged_vals(row_cache.v)),
+                        k_scale=cache.k_scale.at[:, pt_rows].set(
+                            paged_vals(row_cache.k_scale)),
+                        v_scale=cache.v_scale.at[:, pt_rows].set(
+                            paged_vals(row_cache.v_scale)))
             else:
                 updates = {
                     f: getattr(cache, f).at[:, slots].set(getattr(row_cache, f))

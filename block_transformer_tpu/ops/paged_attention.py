@@ -434,3 +434,87 @@ def paged_write_int8(k_pool, ks_pool, v_pool, vs_pool, layer, page, off,
       kq[:, None], ks[:, None], vq[:, None], vs[:, None],
       k_pool, ks_pool, v_pool, vs_pool)
     return outs
+
+
+def _page_copy_kernel(H, ps, D):
+    def kernel(pt_ref, kr_ref, ksr_ref, vr_ref, vsr_ref,
+               kin_ref, ksin_ref, vin_ref, vsin_ref,
+               ko_ref, kso_ref, vo_ref, vso_ref):
+        del pt_ref, kin_ref, ksin_ref, vin_ref, vsin_ref
+        ko_ref[...] = kr_ref[...]
+        vo_ref[...] = vr_ref[...]
+        kso_ref[...] = ksr_ref[...]
+        vso_ref[...] = vsr_ref[...]
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def paged_page_copy_int8(k_pool, ks_pool, v_pool, vs_pool, pt_rows,
+                         row_k, row_ks, row_v, row_vs, *,
+                         interpret: bool = False):
+    """Admission-prefill page placement: copy G freshly-prefilled rows'
+    K/V into their allocated pool pages, page-granularly, in place.
+
+    k_pool/v_pool int8 [L, P, H, ps, D] (+ f32 scale pools [L, P, H, ps]);
+    pt_rows int32 [G, nv] — each admitted row's pool page per virtual
+    page (unallocated tails -> null page 0, whose contents are masked);
+    row_k/row_v int8 [L, G, H, nv*ps, D] (+ scales [L, G, H, nv*ps])
+    from the standalone admission mini-cache. Write-only full-page
+    blocks — no read-modify-write, so pages may be written launch-wide
+    in any order (page-0 collisions are masked anyway). Replaces an XLA
+    gather-indexed scatter that serialized per page (the decode-write
+    analysis of BENCH_DETAIL_paged_nowrite.json applies here too: the
+    paged engine's admit time measured 0.29 s vs 0.13 s contiguous).
+    """
+    L, P, H, ps, D = k_pool.shape
+    G, nv = pt_rows.shape
+
+    def row_val_spec():
+        return pl.BlockSpec((1, 1, H, ps, D),
+                            lambda l, g, j, pt: (l, g, 0, j, 0),
+                            memory_space=pltpu.VMEM)
+
+    def row_sc_spec():
+        return pl.BlockSpec((1, 1, H, ps),
+                            lambda l, g, j, pt: (l, g, 0, j),
+                            memory_space=pltpu.VMEM)
+
+    def pool_val_spec():
+        return pl.BlockSpec((1, 1, H, ps, D),
+                            lambda l, g, j, pt: (l, pt[g, j], 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    def pool_sc_spec():
+        return pl.BlockSpec((1, 1, H, ps),
+                            lambda l, g, j, pt: (l, pt[g, j], 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(L, G, nv),
+        in_specs=[row_val_spec(), row_sc_spec(), row_val_spec(),
+                  row_sc_spec(),
+                  pool_val_spec(), pool_sc_spec(),
+                  pool_val_spec(), pool_sc_spec()],
+        out_specs=[pool_val_spec(), pool_sc_spec(),
+                   pool_val_spec(), pool_sc_spec()],
+    )
+    outs = pl.pallas_call(
+        _page_copy_kernel(H, ps, D),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct(k_pool.shape, k_pool.dtype),
+            jax.ShapeDtypeStruct(ks_pool.shape, ks_pool.dtype),
+            jax.ShapeDtypeStruct(v_pool.shape, v_pool.dtype),
+            jax.ShapeDtypeStruct(vs_pool.shape, vs_pool.dtype),
+        ],
+        # flattened inputs: pt(0) row_k(1) row_ks(2) row_v(3) row_vs(4)
+        # k_pool(5) ks_pool(6) v_pool(7) vs_pool(8)
+        input_output_aliases={5: 0, 6: 1, 7: 2, 8: 3},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary")),
+        interpret=interpret,
+    )(pt_rows.astype(jnp.int32), row_k, row_ks, row_v, row_vs,
+      k_pool, ks_pool, v_pool, vs_pool)
+    return outs

@@ -162,3 +162,43 @@ def test_paged_write_kernel_matches_xla_scatter():
     np.testing.assert_array_equal(np.asarray(nv), np.asarray(rv))
     np.testing.assert_allclose(np.asarray(nks), np.asarray(rks), atol=0)
     np.testing.assert_allclose(np.asarray(nvs), np.asarray(rvs), atol=0)
+
+
+def test_paged_page_copy_matches_xla_scatter():
+    """paged_page_copy_int8 (interpret) == the page-granular XLA scatter
+    it replaces in engine admission prefill."""
+    import numpy as np
+    from block_transformer_tpu.ops import paged_attention
+
+    rng = np.random.default_rng(1)
+    L, P, H, ps, D = 2, 11, 4, 16, 128
+    G, nv = 3, 2
+    cap = nv * ps
+    kp = jnp.asarray(rng.integers(-7, 8, (L, P, H, ps, D)), jnp.int8)
+    vp = jnp.asarray(rng.integers(-7, 8, (L, P, H, ps, D)), jnp.int8)
+    ksp = jnp.asarray(rng.normal(size=(L, P, H, ps)), jnp.float32)
+    vsp = jnp.asarray(rng.normal(size=(L, P, H, ps)), jnp.float32)
+    # distinct real pages per (row, virtual page); one row's tail at null 0
+    pt = jnp.asarray([[1, 2], [3, 4], [5, 0]], jnp.int32)
+    rk = jnp.asarray(rng.integers(-7, 8, (L, G, H, cap, D)), jnp.int8)
+    rv = jnp.asarray(rng.integers(-7, 8, (L, G, H, cap, D)), jnp.int8)
+    rks = jnp.asarray(rng.normal(size=(L, G, H, cap)), jnp.float32)
+    rvs = jnp.asarray(rng.normal(size=(L, G, H, cap)), jnp.float32)
+
+    nk, nks, nv_, nvs = paged_attention.paged_page_copy_int8(
+        kp, ksp, vp, vsp, pt, rk, rks, rv, rvs, interpret=True)
+
+    # simpler reference: direct loop assignment
+    def ref_pool(pool, row, is_val):
+        pool = np.asarray(pool).copy()
+        row = np.asarray(row)
+        for g in range(G):
+            for j in range(nv):
+                sl = row[:, g, :, j * ps:(j + 1) * ps]
+                pool[:, int(pt[g, j])] = sl
+        return pool
+
+    np.testing.assert_array_equal(np.asarray(nk), ref_pool(kp, rk, True))
+    np.testing.assert_array_equal(np.asarray(nv_), ref_pool(vp, rv, True))
+    np.testing.assert_allclose(np.asarray(nks), ref_pool(ksp, rks, False))
+    np.testing.assert_allclose(np.asarray(nvs), ref_pool(vsp, rvs, False))
