@@ -91,14 +91,16 @@ def vanilla_model_bytes(cfg, batch: int, prefill: int, decode: int,
 
 def auto_batch(estimate_fn, limit: int = None, margin: float = 0.8,
                max_batch: int = 4096) -> int:
-    """Largest batch of the form 2^k or 3*2^k whose estimate fits within
-    margin*limit (both families keep the leading dim a multiple of the
-    8/128 tile sizes past batch 128)."""
+    """Largest batch of the form 2^k, 3*2^k or 5*2^k whose estimate fits
+    within margin*limit (all families keep the leading dim a multiple of
+    the 8/128 tile sizes past batch 128; the 5*2^k family fills the wide
+    256->384->512 gaps — e.g. 320 — where a KV-width change can
+    otherwise cost a full candidate step)."""
     if limit is None:
         limit = hbm_bytes_limit()
     candidates = sorted(
         {b for k in range(max_batch.bit_length())
-         for b in (2 ** k, 3 * 2 ** k) if b <= max_batch})
+         for b in (2 ** k, 3 * 2 ** k, 5 * 2 ** k) if b <= max_batch})
     best = 1
     for b in candidates:
         if estimate_fn(b) < limit * margin:

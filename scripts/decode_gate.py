@@ -72,7 +72,7 @@ from block_transformer_tpu.config import get_config
 from block_transformer_tpu.inference import generate as gen
 
 spec = json.load(open(sys.argv[1]))
-cfg = get_config("block_main_b4_5", vocab_size=512,
+cfg = get_config(spec.get("model", "block_main_b4_5"), vocab_size=512,
                  max_length=spec["max_length"])
 
 z = np.load(spec["tree_npz"])
@@ -154,6 +154,8 @@ def load_params(model_dir, cfg, lr, steps):
 
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="block_main_b4_5",
+                    help="named block config of the checkpoint")
     ap.add_argument("--model_dir",
                     default="results/quality10k/block_main_b4_5")
     ap.add_argument("--variant_model_dir", default=None,
@@ -207,7 +209,7 @@ def main():
     from block_transformer_tpu.ops import quant
     from block_transformer_tpu.data.mmap_dataset import MMapIndexedDataset
 
-    cfg = get_config("block_main_b4_5", vocab_size=512,
+    cfg = get_config(args.model, vocab_size=512,
                      max_length=args.max_length)
     params, step = load_params(args.model_dir, cfg, args.lr, args.steps)
     print(f"[decode_gate] checkpoint step {step}")
@@ -291,7 +293,7 @@ def main():
         variants = [v for v in variants if v[0] in keep]
 
     base = {"max_length": args.max_length, "gen_tokens": args.gen_tokens,
-            "prompts": prompts.tolist()}
+            "model": args.model, "prompts": prompts.tolist()}
 
     # reference decode: fp32 weights + bf16 KV
     ref_npz = os.path.join(tmpdir, "ref.npz")
