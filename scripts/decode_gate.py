@@ -286,6 +286,10 @@ def main():
     if args.w8a8:
         variants.append(("w8a8_int8w_int8kv", q8, "int8",
                          {"BT_W8A8_M_MIN": "384"}))
+        # the max-throughput headline combination (fresh prefill + W8A8
+        # decode + INT4 KV)
+        variants.append(("w8a8_int8w_int4kv", q8, "int4",
+                         {"BT_W8A8_M_MIN": "384"}))
     if args.only:
         keep = {v.strip() for v in args.only.split(",")}
         unknown = keep - {n for n, *_ in variants}

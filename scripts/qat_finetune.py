@@ -107,17 +107,20 @@ def main():
                                   **RECIPES[args.recipe])
     if args.distill:
         from block_transformer_tpu.models import block_transformer as bt
-        # frozen source weights: an independent COPY — state.params is
-        # donated every step, which would delete aliased teacher buffers
+        # frozen source weights: an independent COPY (state.params is
+        # donated every step, which would delete aliased teacher buffers)
+        # passed as a jit ARGUMENT — a closure constant bakes the whole
+        # teacher into the HLO, which at 85M exceeded the remote compile
+        # service's request size (HTTP 413)
         teacher = jax.tree.map(jnp.copy, params)
 
-        def kd_loss(p, batch):
+        def kd_loss(p, tch, batch):
             ids, am, bam = (batch["input_ids"], batch["attention_mask"],
                             batch["block_attention_mask"])
             ls = bt.block_transformer_forward(
                 transform(p), cfg, ids, am, bam, remat=True).logits
             lt = jax.lax.stop_gradient(bt.block_transformer_forward(
-                teacher, cfg, ids, am, bam, remat=True).logits)
+                tch, cfg, ids, am, bam, remat=True).logits)
             kl = jnp.sum(jax.nn.softmax(lt, -1)
                          * (jax.nn.log_softmax(lt, -1)
                             - jax.nn.log_softmax(ls, -1)), -1)
@@ -126,16 +129,17 @@ def main():
             loss = jnp.sum(kl * w) / jnp.maximum(jnp.sum(w), 1.0)
             return loss, {"loss": loss}
 
-        def step_fn_py(state, batch):
+        def step_fn_py(state, tch, batch):
             (loss, metrics), grads = jax.value_and_grad(
-                kd_loss, has_aux=True)(state.params, batch)
+                kd_loss, has_aux=True)(state.params, tch, batch)
             updates, opt_state = tx.update(grads, state.opt_state,
                                            state.params)
             new_p = jax.tree.map(lambda a, u: a + u.astype(a.dtype),
                                  state.params, updates)
             return ts.TrainState(new_p, opt_state, state.step + 1), metrics
 
-        step_fn = jax.jit(step_fn_py, donate_argnums=(0,))
+        _kd_step = jax.jit(step_fn_py, donate_argnums=(0,))
+        step_fn = lambda state, batch: _kd_step(state, teacher, batch)
     else:
         step_fn = jax.jit(ts.make_train_step(cfg, tx, remat=True,
                                              param_transform=transform),
