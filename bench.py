@@ -431,14 +431,16 @@ def main():
                     default="int8",
                     help="weight quantization (BASELINE.json operating "
                     "point: int8 weights + int8 KV)")
-    ap.add_argument("--kv", choices=["bf16", "int8", "int4"], default="int8",
-                    help="global block-level KV cache dtype. Default int8: "
-                         "the ONE decode-path gate (scripts/decode_gate.py, "
-                         "results/decode_gate.json) passes int8 KV at "
-                         "+0.10%% fp32-logprob delta and FAILS every int4-KV "
-                         "pairing (+1.5-5.5%%) on the 10k checkpoint; int4 "
-                         "(+~5%% tok/s) stays an explicit opt-in whose "
-                         "quality must be gated per deployment")
+    ap.add_argument("--kv", choices=["bf16", "int8", "int4"], default="int4",
+                    help="global block-level KV cache dtype. Default int4, "
+                         "gated at scale: the ONE decode-path gate passes "
+                         "int4 KV at +0.022%% (and the full headline combo "
+                         "at +0.483%%) on the 85M/5k-step checkpoint "
+                         "(results/decode_gate_85m.json) — while the SAME "
+                         "gate fails it on 5M-class checkpoints (+1.5-5.5%%, "
+                         "results/decode_gate.json): gate your own "
+                         "checkpoint with scripts/decode_gate.py and use "
+                         "--kv int8 for small models (QUALITY.md)")
     ap.add_argument("--engine_kv", default=None,
                     help="engine-mode cache override: bf16/int8/int4/paged "
                          "(default: --kv; int4 falls back to int8 here - "

@@ -178,9 +178,10 @@ def _use_w8a8(m: int) -> bool:
     # a 79.3% greedy-agreement reading; round 4's ONE uniform decode gate
     # (scripts/decode_gate.py — fp32-scored continuation logprob delta,
     # the metric every decode-path quantization is judged by) measures
-    # W8A8-decode at +0.307% <= 0.5% PASS on the same 10k checkpoint
-    # (results/decode_gate.json w8a8_int8w_int8kv row; agreement stays
-    # reported as a trajectory-stability diagnostic, not the gate).
+    # W8A8-decode PASS at +0.307% on the 5M/10k checkpoint and at +0.483%
+    # in the headline pairing (with INT4 KV) on the 85M/5k checkpoint
+    # (results/decode_gate.json, results/decode_gate_85m.json; the 85M
+    # int8-KV pairing sits at +0.507% — gate your own deployment).
     # Prefill-only remains available via BT_W8A8_M_MIN=2048 (ppl gate
     # -0.011%), and BT_W8A8_M_MIN=1000000000 disables W8A8 entirely.
     return m >= int(os.environ.get("BT_W8A8_M_MIN", "384"))
