@@ -416,52 +416,107 @@ def neox_stack(params, x, *, cfg: NeoXConfig, mask, positions,
         # on chip. Read at trace time; NEVER set outside the probe.
         nowrite = _os.environ.get("BT_PAGED_PROBE_NOWRITE") == "1"
 
-        # single-position decode steps write through the Pallas scatter
-        # kernel (page/off resolved in index maps, pool aliased in place):
-        # the XLA advanced-index scatter serialized per row and cost ~60%
-        # of paged decode (BENCH_DETAIL_paged_nowrite.json analysis).
-        # Multi-position writes (prefill-style) keep the XLA scatter — the
-        # kernel's scale RMW forbids touching one page twice per launch.
-        write_kernel = (S == 1 and kv_dtype == jnp.int8
-                        and _os.environ.get("BT_PAGED_WRITE", "kernel")
-                        != "xla")
+        # single-position decode steps: the DEFERRED write (default) never
+        # writes inside the layer scan — each layer's just-quantized K/V
+        # is merged into the attention softmax in-kernel (``fresh``, with
+        # q_idx - 1 masking the stale pool slot at the write frontier) and
+        # collected as a scan output; ONE batched all-layers Pallas write
+        # lands the whole step's K/V after the scan. The per-layer write
+        # kernel ("kernel" mode) issued L x B tiny latency-bound RMW DMAs
+        # per token step, which measured ~1.9 ms/step of the paged
+        # engine's gap to contiguous (BENCH_DETAIL_paged_r4c vs _nowrite);
+        # batching the layers amortizes the DMA latency without changing
+        # traffic. The XLA advanced-index scatter ("xla") serialized per
+        # row and cost ~60% of paged decode. Multi-position writes
+        # (prefill-style) keep the XLA scatter — the kernels' scale RMW
+        # forbids touching one page twice per launch.
+        wmode = _os.environ.get("BT_PAGED_WRITE", "deferred")
+        single = S == 1 and kv_dtype == jnp.int8
+        deferred = single and wmode == "deferred"
+        write_kernel = single and wmode == "kernel"
 
-        def body(carry, i):
-            h, ck, cv, cks, cvs = carry
-            p = layer_view(layers, i)
-            q, k, v = layer_qkv(p, h, cfg=cfg, cos=cos, sin=sin,
-                                positions=positions)
-            kq, ks = quantize_kv(k, kv_dtype)
-            vq, vs = quantize_kv(v, kv_dtype)
-            # advanced-index scatter: (page, off) pairs per (b, s); the
-            # advanced result group moves to the front -> values [B, S, H, *]
-            if nowrite:
-                pass
-            elif write_kernel:
-                from block_transformer_tpu.ops import paged_attention
-                ck, cks, cv, cvs = paged_attention.paged_write_int8(
-                    ck, cks, cv, cvs, i, page[:, 0], off[:, 0],
-                    kq[:, :, 0, :], ks[:, :, 0], vq[:, :, 0, :],
-                    vs[:, :, 0], interpret=interp)
-            else:
-                ck = ck.at[i, page, :, off].set(kq.transpose(0, 2, 1, 3))
-                cv = cv.at[i, page, :, off].set(vq.transpose(0, 2, 1, 3))
-                cks = cks.at[i, page, :, off].set(ks.transpose(0, 2, 1))
-                cvs = cvs.at[i, page, :, off].set(vs.transpose(0, 2, 1))
-            from block_transformer_tpu.ops import paged_attention
-            attn = paged_attention.paged_decode_attention_int8(
-                q, ck, cks, cv, cvs, i, pt, mask, interpret=interp
-            ).astype(q.dtype)
-            h = layer_finish(p, h, attn, cfg=cfg)
-            return (h, ck, cv, cks, cvs), None
+        from block_transformer_tpu.ops import paged_attention
 
-        if remat:
-            body = jax.checkpoint(body)
-        idx = jnp.arange(cfg.num_layers, dtype=jnp.int32)
-        (h, nk, nv, nks, nvs), _ = jax.lax.scan(
-            body, (x, cache.k, cache.v, cache.k_scale, cache.v_scale), idx)
-        new_cache = PagedKVCache(nk, nv, nks, nvs, pt,
-                                 cache.length + x.shape[1])
+        if deferred:
+            # the pools are INVARIANT during the layer scan (no per-layer
+            # write), so they must be closure constants, NOT scan carries:
+            # a read-only pool threaded through the carry is not
+            # guaranteed to stay in place, and any copy is ~2 GB per
+            # occurrence at serving scale
+            ck, cv = cache.k, cache.v
+            cks, cvs = cache.k_scale, cache.v_scale
+            mask_d = mask._replace(q_idx=mask.q_idx - 1)
+
+            def body_d(h, i):
+                p = layer_view(layers, i)
+                q, k, v = layer_qkv(p, h, cfg=cfg, cos=cos, sin=sin,
+                                    positions=positions)
+                kq, ks = quantize_kv(k, kv_dtype)
+                vq, vs = quantize_kv(v, kv_dtype)
+                step_kv = (kq[:, :, 0, :], ks[:, :, 0],
+                           vq[:, :, 0, :], vs[:, :, 0])
+                # attention sees the DEQUANTIZED fresh pair so its
+                # contribution carries the same quantization error a pool
+                # read would (token-exact vs the write-first path)
+                kf = (step_kv[0].astype(jnp.float32)
+                      * step_kv[1][..., None].astype(jnp.float32))
+                vf = (step_kv[2].astype(jnp.float32)
+                      * step_kv[3][..., None].astype(jnp.float32))
+                attn = paged_attention.paged_decode_attention_int8(
+                    q, ck, cks, cv, cvs, i, pt, mask_d, fresh=(kf, vf),
+                    interpret=interp).astype(q.dtype)
+                h = layer_finish(p, h, attn, cfg=cfg)
+                return h, step_kv
+
+            if remat:
+                body_d = jax.checkpoint(body_d)
+            idx = jnp.arange(cfg.num_layers, dtype=jnp.int32)
+            h, step_kvs = jax.lax.scan(body_d, x, idx)
+            nk, nv, nks, nvs = ck, cv, cks, cvs
+            if not nowrite:
+                kqs, kss, vqs, vss = step_kvs      # each [L, B, ...]
+                nk, nks, nv, nvs = paged_attention.paged_write_layers_int8(
+                    ck, cks, cv, cvs, page[:, 0], off[:, 0],
+                    kqs, kss, vqs, vss, interpret=interp)
+            new_cache = PagedKVCache(nk, nv, nks, nvs, pt,
+                                     cache.length + x.shape[1])
+        else:
+            def body(carry, i):
+                h, ck, cv, cks, cvs = carry
+                p = layer_view(layers, i)
+                q, k, v = layer_qkv(p, h, cfg=cfg, cos=cos, sin=sin,
+                                    positions=positions)
+                kq, ks = quantize_kv(k, kv_dtype)
+                vq, vs = quantize_kv(v, kv_dtype)
+                # advanced-index scatter: (page, off) pairs per (b, s);
+                # the advanced result group moves to the front -> values
+                # [B, S, H, *]
+                if nowrite:
+                    pass
+                elif write_kernel:
+                    ck, cks, cv, cvs = paged_attention.paged_write_int8(
+                        ck, cks, cv, cvs, i, page[:, 0], off[:, 0],
+                        kq[:, :, 0, :], ks[:, :, 0], vq[:, :, 0, :],
+                        vs[:, :, 0], interpret=interp)
+                else:
+                    ck = ck.at[i, page, :, off].set(kq.transpose(0, 2, 1, 3))
+                    cv = cv.at[i, page, :, off].set(vq.transpose(0, 2, 1, 3))
+                    cks = cks.at[i, page, :, off].set(ks.transpose(0, 2, 1))
+                    cvs = cvs.at[i, page, :, off].set(vs.transpose(0, 2, 1))
+                attn = paged_attention.paged_decode_attention_int8(
+                    q, ck, cks, cv, cvs, i, pt, mask, interpret=interp
+                ).astype(q.dtype)
+                h = layer_finish(p, h, attn, cfg=cfg)
+                return (h, ck, cv, cks, cvs), None
+
+            if remat:
+                body = jax.checkpoint(body)
+            idx = jnp.arange(cfg.num_layers, dtype=jnp.int32)
+            (h, nk, nv, nks, nvs), _ = jax.lax.scan(
+                body, (x, cache.k, cache.v, cache.k_scale, cache.v_scale),
+                idx)
+            new_cache = PagedKVCache(nk, nv, nks, nvs, pt,
+                                     cache.length + x.shape[1])
     elif isinstance(cache, QuantKVCache):
         # INT8 cache: quantize the new K/V per position on write. On read,
         # decode-sized queries (S<=8) on TPU go through the fused Pallas

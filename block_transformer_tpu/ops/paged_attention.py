@@ -58,17 +58,23 @@ from block_transformer_tpu.ops.decode_attention import (_cdiv, _vmem_limit,
                                                         _NEG)
 
 
-def _paged_kernel(H: int, Sp: int, ps: int, nbt: int, npp: int, scale: float):
+def _paged_kernel(H: int, Sp: int, ps: int, nbt: int, npp: int, scale: float,
+                  fresh: bool = False):
     """One grid step = ``nbt`` slot rows x ``npp`` consecutive virtual
     pages each: stack the page tiles in VMEM, one (slot, head)-batched QK
     dot over the merged ``npp*ps`` key dim, online softmax across page
-    groups."""
+    groups. With ``fresh``, the current decode step's just-quantized K/V
+    (not yet written to the pool — see the deferred-write note below)
+    joins the softmax as one extra online group on the last page group."""
     bk = npp * ps
 
     def kernel(l_ref, pt_ref, q_idx_ref, kv_idx_ref, kv_valid_ref, q_ref,
                *rest):
         del l_ref, pt_ref                  # consumed by the index maps
         np_ops = nbt * npp
+        if fresh:
+            kf_ref, vf_ref = rest[:2]      # dequantized f32 [nbt, H, D]
+            rest = rest[2:]
         k_refs = rest[0:np_ops]
         ks_refs = rest[np_ops:2 * np_ops]
         v_refs = rest[2 * np_ops:3 * np_ops]
@@ -114,6 +120,24 @@ def _paged_kernel(H: int, Sp: int, ps: int, nbt: int, npp: int, scale: float):
         a_new = jax.lax.dot_general(p.astype(cdt), v,
                                     (((2,), (1,)), ((0,), (0,))),
                                     preferred_element_type=jnp.float32)
+
+        if fresh:
+            # The current token's K/V as one extra online-softmax group,
+            # folded into the LAST page group's partials before the merge.
+            # The pool is masked at ki == qi (the caller passes q_idx - 1),
+            # so this term is the only self-attention contribution.
+            last = (ig == pl.num_programs(1) - 1) if multi else True
+            kf = kf_ref[:].reshape(R, 1, -1)                   # f32, dequant
+            qf = q.astype(jnp.float32)
+            s_f = jnp.sum(qf * kf, axis=2, keepdims=True) * scale  # [R,Sp,1]
+            s_f = jnp.where(last, s_f, _NEG)
+            m2 = jnp.maximum(m_new, s_f)
+            corr = jnp.exp(m_new - m2)
+            pf = jnp.exp(s_f - m2)                             # 0 off-last
+            vf = vf_ref[:].reshape(R, 1, -1)
+            l_new = l_new * corr + pf
+            a_new = a_new * corr + pf * vf
+            m_new = m2
 
         if multi:
             @pl.when(ig == 0)
@@ -185,10 +209,13 @@ def _pick_tiles(B: int, n_virt: int, H: int, ps: int, D: int,
 
 @functools.partial(jax.jit, static_argnames=("interpret", "nbt", "npp"))
 def _paged_attn(q, k_q, k_s, v_q, v_s, layer, page_table, q_idx, kv_idx,
-                kv_valid, *, nbt: int, npp: int, interpret: bool):
+                kv_valid, fresh=None, *, nbt: int, npp: int,
+                interpret: bool):
     """q [B, H, S, D]; k_q/v_q int8 [L, P, H, ps, D]; k_s/v_s f32
     [L, P, H, ps]; page_table int32 [B, n_virt]; mask arrays at virtual
-    positions ([B, n_virt*ps] / [n_virt*ps])."""
+    positions ([B, n_virt*ps] / [n_virt*ps]); fresh (optional): the
+    current step's not-yet-written (kq [B,H,D] int8, ks [B,H] f32,
+    vq, vs) quadruple, merged in-kernel as an extra softmax group."""
     B, H, S, D = q.shape
     L, P, H2, ps, D2 = k_q.shape
     assert (H, D) == (H2, D2)
@@ -230,14 +257,27 @@ def _paged_attn(q, k_q, k_s, v_q, v_s, layer, page_table, q_idx, kv_idx,
         pl.BlockSpec((nbt, H, Sp, D), lambda bq, ig, l, pt: (bq, 0, 0, 0),
                      memory_space=pltpu.VMEM),            # q
     ]
-    in_specs += [kv_spec(i, j) for (i, j) in pairs]
-    in_specs += [sc_spec(i, j) for (i, j) in pairs]
-    in_specs += [kv_spec(i, j) for (i, j) in pairs]
-    in_specs += [sc_spec(i, j) for (i, j) in pairs]
     args = [jnp.asarray(layer, jnp.int32).reshape(1),
             page_table.astype(jnp.int32),
             q_idx[:, None, :], kv_idx[None, None, :], kv_valid[:, None, :],
             q]
+    if fresh is not None:
+        # fresh K/V arrive DEQUANTIZED (f32 [B, H, D]): applying the
+        # per-(row, head) scale in-kernel needs a lane->sublane relayout
+        # of the [B, H] scale block that Mosaic cannot shape-cast; the
+        # dequant is one tiny XLA elementwise outside instead.
+        kf, vf = fresh
+        in_specs += [
+            pl.BlockSpec((nbt, H, D), lambda bq, ig, l, pt: (bq, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nbt, H, D), lambda bq, ig, l, pt: (bq, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        args += [kf.astype(jnp.float32), vf.astype(jnp.float32)]
+    in_specs += [kv_spec(i, j) for (i, j) in pairs]
+    in_specs += [sc_spec(i, j) for (i, j) in pairs]
+    in_specs += [kv_spec(i, j) for (i, j) in pairs]
+    in_specs += [sc_spec(i, j) for (i, j) in pairs]
     n_ops = len(pairs)
     args += [k_q] * n_ops + [k_s[:, :, :, None, :]] * n_ops
     args += [v_q] * n_ops + [v_s[:, :, :, None, :]] * n_ops
@@ -256,7 +296,7 @@ def _paged_attn(q, k_q, k_s, v_q, v_s, layer, page_table, q_idx, kv_idx,
         ],
     )
     out = pl.pallas_call(
-        _paged_kernel(H, Sp, ps, nbt, npp, scale),
+        _paged_kernel(H, Sp, ps, nbt, npp, scale, fresh=fresh is not None),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, H, Sp, D), q.dtype),
         compiler_params=pltpu.CompilerParams(
@@ -272,14 +312,20 @@ def _paged_attn(q, k_q, k_s, v_q, v_s, layer, page_table, q_idx, kv_idx,
 
 def paged_decode_attention_int8(q, k_q, k_s, v_q, v_s, layer, page_table,
                                 mask: masks_lib.AttnMask, *,
-                                interpret: bool = False):
+                                fresh=None, interpret: bool = False):
     """Fused int8 decode attention over a paged pool.
 
     q [B, H, S, D] (S <= 8); pool k_q/v_q int8 [L, n_pages, H, page, D]
     with f32 scales [L, n_pages, H, page]; page_table [B, n_virt] maps each
     slot's virtual page index to a pool page (unallocated tail -> page 0
     with kv_valid 0); mask: AttnMask over the virtual positions
-    [B, n_virt*page]. Returns [B, H, S, D] in q.dtype.
+    [B, n_virt*page]. ``fresh`` (deferred-write decode, S == 1): the
+    current step's not-yet-written K/V as a DEQUANTIZED (k [B,H,D],
+    v [B,H,D]) pair (dequantized so quantization error matches what a
+    pool read would see) — the kernel merges it as one extra softmax
+    group and the caller MUST pass ``mask.q_idx - 1`` so the stale pool
+    slot at the write frontier is masked. Returns [B, H, S, D] in
+    q.dtype.
     """
     B, H, S, D = q.shape
     n_virt = page_table.shape[1]
@@ -292,10 +338,12 @@ def paged_decode_attention_int8(q, k_q, k_s, v_q, v_s, layer, page_table,
     if kv_valid is None:
         kv_valid = jnp.ones((B, K), jnp.int32)
     nbt, npp = _pick_tiles(B, n_virt, H, ps, D, max(8, _cdiv(S, 8) * 8))
+    if fresh is not None:
+        fresh = tuple(fresh)
     return _paged_attn(q, k_q, k_s.astype(jnp.float32), v_q,
                        v_s.astype(jnp.float32), layer, page_table,
                        q_idx.astype(jnp.int32), mask.kv_idx.astype(jnp.int32),
-                       kv_valid.astype(jnp.int32), nbt=nbt, npp=npp,
+                       kv_valid.astype(jnp.int32), fresh, nbt=nbt, npp=npp,
                        interpret=interpret)
 
 
@@ -432,6 +480,138 @@ def paged_write_int8(k_pool, ks_pool, v_pool, vs_pool, layer, page, off,
       page.astype(jnp.int32).reshape(B, 1),
       off.astype(jnp.int32).reshape(B, 1),
       kq[:, None], ks[:, None], vq[:, None], vs[:, None],
+      k_pool, ks_pool, v_pool, vs_pool)
+    return outs
+
+
+def _paged_write_layers_kernel(H, ps, D, lt):
+    def kernel(page_ref, off_ref,
+               kq_ref, ks_ref, vq_ref, vs_ref,
+               kin_ref, ksin_ref, vin_ref, vsin_ref,
+               ko_ref, kso_ref, vo_ref, vso_ref):
+        del page_ref
+        b = pl.program_id(0)
+        off = off_ref[b, 0]
+        vsub = min(_VSUB, ps)
+        ssub = min(_SSUB, ps)
+        pos = jax.lax.broadcasted_iota(jnp.int32, (lt, 1, H, vsub, 1), 3)
+        mv = pos == off % vsub
+        ko_ref[...] = jnp.where(mv, kq_ref[...].reshape(lt, 1, H, 1, D),
+                                kin_ref[...])
+        vo_ref[...] = jnp.where(mv, vq_ref[...].reshape(lt, 1, H, 1, D),
+                                vin_ref[...])
+        lane = jax.lax.broadcasted_iota(jnp.int32, (lt, 1, H, ssub), 3)
+        ms = lane == off % ssub
+        kso_ref[...] = jnp.where(ms, ks_ref[...].reshape(lt, 1, H, 1),
+                                 ksin_ref[...])
+        vso_ref[...] = jnp.where(ms, vs_ref[...].reshape(lt, 1, H, 1),
+                                 vsin_ref[...])
+
+    return kernel
+
+
+def _pick_layer_tile(L: int, H: int, ps: int, D: int) -> int:
+    """Largest divisor ``lt`` of L whose double-buffered in+out write
+    working set (K+V int8 sub-tiles + f32 scale blocks, x2 for the RMW's
+    input copy) fits scoped VMEM."""
+    vsub = min(_VSUB, ps)
+    ssub = min(_SSUB, ps)
+    Dp = -(-D // 128) * 128
+
+    def bytes_for(lt):
+        val = lt * H * vsub * Dp            # one int8 K or V block
+        sc = lt * H * ssub * 4
+        new = lt * H * Dp + lt * H * 4
+        # K+V, in+out, double-buffered, plus the new-value operands
+        return 2 * (2 * 2 * (val + sc) + 2 * new)
+
+    for lt in sorted((d for d in range(1, L + 1) if L % d == 0),
+                     reverse=True):
+        if bytes_for(lt) <= _vmem_limit():
+            return lt
+    return 1
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def paged_write_layers_int8(k_pool, ks_pool, v_pool, vs_pool, page, off,
+                            kq, ks, vq, vs, *, interpret: bool = False):
+    """Scatter one decode step's quantized K/V for ALL layers into the
+    paged pool, in place.
+
+    Same RMW blend as :func:`paged_write_int8`, but batched over the
+    layer dim: every layer of a slot shares the same (page, off) target
+    (the page table has no layer axis), so one grid step can move an
+    ``lt``-layer block instead of a single layer's. The per-layer kernel
+    inside the decode ``lax.scan`` issued ``L x B`` tiny (~H*32*D-byte)
+    latency-bound DMAs per token step; called once after the scan with
+    the layers stacked, this kernel issues ``(L/lt) x B`` DMAs each
+    ``lt``-fold larger — same traffic, bandwidth-bound instead of
+    latency-bound (the deferred-write design note in models/neox.py).
+
+    kq/vq int8 [L, B, H, D]; ks/vs f32 [L, B, H]; page/off int32 [B].
+    Returns the four pools (aliased in place).
+    """
+    L, P, H, ps, D = k_pool.shape
+    Lk, B, Hk, Dk = kq.shape
+    assert (Lk, Hk, Dk) == (L, H, D), (kq.shape, k_pool.shape)
+    lt = _pick_layer_tile(L, H, ps, D)
+
+    def kv_new_spec():
+        return pl.BlockSpec((lt, 1, H, D),
+                            lambda b, li, pg, of: (li, b, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    def sc_new_spec():
+        # [L, B, 1, H]: trailing block dims (1, H) are full array dims
+        # (Mosaic's 8/128 block-divisibility rule)
+        return pl.BlockSpec((lt, 1, 1, H),
+                            lambda b, li, pg, of: (li, b, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    vsub = min(_VSUB, ps)
+    ssub = min(_SSUB, ps)
+    assert ps % vsub == 0 and ps % ssub == 0, (ps, vsub, ssub)
+
+    def pool_val_spec():
+        return pl.BlockSpec((lt, 1, H, vsub, D),
+                            lambda b, li, pg, of: (li, pg[b, 0], 0,
+                                                   of[b, 0] // vsub, 0),
+                            memory_space=pltpu.VMEM)
+
+    def pool_sc_spec():
+        return pl.BlockSpec((lt, 1, H, ssub),
+                            lambda b, li, pg, of: (li, pg[b, 0], 0,
+                                                   of[b, 0] // ssub),
+                            memory_space=pltpu.VMEM)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B, L // lt),
+        in_specs=[kv_new_spec(), sc_new_spec(), kv_new_spec(), sc_new_spec(),
+                  pool_val_spec(), pool_sc_spec(),
+                  pool_val_spec(), pool_sc_spec()],
+        out_specs=[pool_val_spec(), pool_sc_spec(),
+                   pool_val_spec(), pool_sc_spec()],
+    )
+    outs = pl.pallas_call(
+        _paged_write_layers_kernel(H, ps, D, lt),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct(k_pool.shape, k_pool.dtype),
+            jax.ShapeDtypeStruct(ks_pool.shape, ks_pool.dtype),
+            jax.ShapeDtypeStruct(v_pool.shape, v_pool.dtype),
+            jax.ShapeDtypeStruct(vs_pool.shape, vs_pool.dtype),
+        ],
+        # flattened input order: page(0) off(1) kq(2) ks(3) vq(4) vs(5)
+        # k_pool(6) ks_pool(7) v_pool(8) vs_pool(9)
+        input_output_aliases={6: 0, 7: 1, 8: 2, 9: 3},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+        interpret=interpret,
+    )(page.astype(jnp.int32).reshape(B, 1),
+      off.astype(jnp.int32).reshape(B, 1),
+      kq, ks.astype(jnp.float32)[:, :, None], vq,
+      vs.astype(jnp.float32)[:, :, None],
       k_pool, ks_pool, v_pool, vs_pool)
     return outs
 

@@ -202,3 +202,105 @@ def test_paged_page_copy_matches_xla_scatter():
     np.testing.assert_array_equal(np.asarray(nv_), ref_pool(vp, rv, True))
     np.testing.assert_allclose(np.asarray(nks), ref_pool(ksp, rks, False))
     np.testing.assert_allclose(np.asarray(nvs), ref_pool(vsp, rvs, False))
+
+
+def test_paged_write_layers_kernel_matches_xla_scatter():
+    """paged_write_layers_int8 (interpret) == per-layer XLA scatters: the
+    deferred-write path's single post-scan call writes every layer of a
+    slot at its shared (page, off) target."""
+    import numpy as np
+    from block_transformer_tpu.ops import paged_attention
+
+    rng = np.random.default_rng(2)
+    L, P, H, ps, D = 4, 9, 4, 16, 128
+    B = 5
+    k_pool = jnp.asarray(rng.integers(-7, 8, (L, P, H, ps, D)), jnp.int8)
+    v_pool = jnp.asarray(rng.integers(-7, 8, (L, P, H, ps, D)), jnp.int8)
+    ks_pool = jnp.asarray(rng.normal(size=(L, P, H, ps)), jnp.float32)
+    vs_pool = jnp.asarray(rng.normal(size=(L, P, H, ps)), jnp.float32)
+    page = jnp.asarray(rng.permutation(np.arange(1, P))[:B], jnp.int32)
+    off = jnp.asarray(rng.integers(0, ps, B), jnp.int32)
+    kq = jnp.asarray(rng.integers(-7, 8, (L, B, H, D)), jnp.int8)
+    vq = jnp.asarray(rng.integers(-7, 8, (L, B, H, D)), jnp.int8)
+    ks = jnp.asarray(rng.normal(size=(L, B, H)), jnp.float32)
+    vs = jnp.asarray(rng.normal(size=(L, B, H)), jnp.float32)
+
+    nk, nks, nv, nvs = paged_attention.paged_write_layers_int8(
+        k_pool, ks_pool, v_pool, vs_pool, page, off,
+        kq, ks, vq, vs, interpret=True)
+
+    rk, rv, rks, rvs = k_pool, v_pool, ks_pool, vs_pool
+    for layer in range(L):
+        rk = rk.at[layer, page, :, off].set(kq[layer])
+        rv = rv.at[layer, page, :, off].set(vq[layer])
+        rks = rks.at[layer, page, :, off].set(ks[layer])
+        rvs = rvs.at[layer, page, :, off].set(vs[layer])
+    np.testing.assert_array_equal(np.asarray(nk), np.asarray(rk))
+    np.testing.assert_array_equal(np.asarray(nv), np.asarray(rv))
+    np.testing.assert_allclose(np.asarray(nks), np.asarray(rks), atol=0)
+    np.testing.assert_allclose(np.asarray(nvs), np.asarray(rvs), atol=0)
+
+
+def test_paged_fresh_tail_matches_write_then_attend(monkeypatch):
+    """Deferred-write attention (fresh K/V merged in-kernel, q_idx - 1
+    masking the stale frontier slot) == write-the-token-first then attend
+    over the pool, including across online-softmax page groups."""
+    import numpy as np
+    from block_transformer_tpu.ops import paged_attention
+
+    for npp_force in (None, "1"):           # single group / multi group
+        if npp_force:
+            monkeypatch.setenv("BT_PAGED_NPP", npp_force)
+        else:
+            monkeypatch.delenv("BT_PAGED_NPP", raising=False)
+        rng = np.random.default_rng(3)
+        L, B, H, D = 2, 4, 2, 128
+        ps, n_virt = 128, 2
+        cap = ps * n_virt
+        n_pool = B * n_virt + 2
+        k_q = jnp.asarray(rng.integers(-7, 8, (L, n_pool, H, ps, D)),
+                          jnp.int8)
+        v_q = jnp.asarray(rng.integers(-7, 8, (L, n_pool, H, ps, D)),
+                          jnp.int8)
+        k_s = jnp.asarray(rng.uniform(0.01, 0.02, (L, n_pool, H, ps)),
+                          jnp.float32)
+        v_s = jnp.asarray(rng.uniform(0.01, 0.02, (L, n_pool, H, ps)),
+                          jnp.float32)
+        perm = rng.permutation(np.arange(1, n_pool))[:B * n_virt]
+        pt = jnp.asarray(perm.reshape(B, n_virt), jnp.int32)
+        layer = 1
+        q = jnp.asarray(rng.standard_normal((B, H, 1, D)), jnp.float32)
+        kf = jnp.asarray(rng.integers(-7, 8, (B, H, D)), jnp.int8)
+        vf = jnp.asarray(rng.integers(-7, 8, (B, H, D)), jnp.int8)
+        kfs = jnp.asarray(rng.uniform(0.01, 0.02, (B, H)), jnp.float32)
+        vfs = jnp.asarray(rng.uniform(0.01, 0.02, (B, H)), jnp.float32)
+
+        # per-slot write frontier (varied; slot 3 writes position 0 of an
+        # otherwise-empty cache)
+        lengths = np.asarray([cap - 1, ps + 3, ps - 1, 0])
+        page = jnp.take_along_axis(pt, jnp.asarray(lengths[:, None] // ps,
+                                                   jnp.int32), axis=1)[:, 0]
+        off = jnp.asarray(lengths % ps, jnp.int32)
+        kv_valid = jnp.asarray(
+            (np.arange(cap)[None] <= lengths[:, None]).astype(np.int32))
+        kv_idx = jnp.arange(cap, dtype=jnp.int32)
+        q_idx = jnp.asarray(lengths[:, None], jnp.int32)   # query AT frontier
+
+        # reference: write the fresh token at the frontier, then attend
+        wk, wks, wv, wvs = paged_attention.paged_write_int8(
+            k_q, k_s, v_q, v_s, layer, page, off, kf, kfs, vf, vfs,
+            interpret=True)
+        mask = masks_lib.AttnMask(q_idx, kv_idx, kv_valid)
+        want = paged_attention.paged_decode_attention_int8(
+            q, wk, wks, wv, wvs, layer, pt, mask, interpret=True)
+
+        # deferred: unwritten pool + dequantized fresh merge, frontier
+        # slot masked
+        mask_d = masks_lib.AttnMask(q_idx - 1, kv_idx, kv_valid)
+        kf_deq = kf.astype(jnp.float32) * kfs[..., None]
+        vf_deq = vf.astype(jnp.float32) * vfs[..., None]
+        out = paged_attention.paged_decode_attention_int8(
+            q, k_q, k_s, v_q, v_s, layer, pt, mask_d,
+            fresh=(kf_deq, vf_deq), interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                                   atol=2e-3, rtol=2e-3)
