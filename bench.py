@@ -274,13 +274,24 @@ def _two_level_decomposition(params, cfg, batch, prefill, decode, dtype,
 
 
 def bench_vanilla(name: str, batch, prefill: int, decode: int,
-                  dtype_str: str = "bfloat16"):
+                  dtype_str: str = "bfloat16", quantize: str = None,
+                  kv_cache: str = "bf16"):
+    """Vanilla GPTNeoX baseline at the same protocol as bench_block.
+
+    ``quantize``/``kv_cache`` build the precision-matched baseline
+    (VERDICT r4 item 1; reference protocol runs both models at ONE
+    precision, measure_generation_time.py:164-204): the same
+    quantize_model_params INT8/INT4 weights and the same QuantKVCache
+    int8 token-level cache the block model gets, auto-batched with the
+    same static-HBM model. The vanilla cache is its HBM bound, so
+    quantizing it materially raises its feasible batch — the honest
+    architecture-only comparison is block-quantized vs vanilla-quantized.
+    """
     import jax
     import jax.numpy as jnp
     from block_transformer_tpu.config import get_vanilla_config
     from block_transformer_tpu.models import vanilla, neox
     from block_transformer_tpu.utils import hbm
-    import functools
 
     dtype = jnp.bfloat16 if dtype_str == "bfloat16" else jnp.float32
     cfg = get_vanilla_config(name)
@@ -288,19 +299,29 @@ def bench_vanilla(name: str, batch, prefill: int, decode: int,
         # vanilla decode holds ~2 cache copies through the loop (measured
         # 16.08G at b32/p2048 where the static estimate says 7.9G)
         batch = hbm.auto_batch(
-            lambda b: hbm.vanilla_model_bytes(cfg, b, prefill, decode),
+            lambda b: hbm.vanilla_model_bytes(cfg, b, prefill, decode,
+                                              kv_cache=kv_cache,
+                                              quantize=quantize),
             margin=0.4)
         print(f"[bench] vanilla auto batch -> {batch}", flush=True)
     batch = int(batch)
     params = jax.jit(lambda k: vanilla.init_vanilla_params(
         k, cfg, dtype=dtype))(jax.random.PRNGKey(0))
+    if quantize and quantize != "none":
+        from block_transformer_tpu.ops import quant
+        bits = 8 if quantize == "int8" else 4
+        params = jax.jit(lambda p: quant.quantize_model_params(
+            p, bits=bits,
+            group_size=int(os.environ.get("BT_INT4_GROUP", "128"))))(params)
+
     rng = np.random.default_rng(0)
     ids = jnp.asarray(rng.integers(1, 50254, size=(batch, prefill)), jnp.int32)
 
     @jax.jit
     def full_generate(params, ids):
         # cache created INSIDE the jit: one executable, XLA owns liveness
-        cache = neox.KVCache.create(cfg, batch, prefill + decode, dtype=dtype)
+        cache = neox.make_kv_cache(cfg, batch, prefill + decode, kv_cache,
+                                   dtype=dtype)
         logits, cache = vanilla.vanilla_prefill(params, cfg, ids, cache)
         tok = jnp.argmax(logits, -1).astype(jnp.int32)
 
@@ -326,7 +347,8 @@ def bench_vanilla(name: str, batch, prefill: int, decode: int,
     detail = {"median_s": dt, "mean_s": float(np.mean(times)),
               "std_s": float(np.std(times)), "reps": n_rep,
               "ms_per_sample": 1e3 * dt / batch,
-              "ms_per_token": 1e3 * dt / (batch * decode)}
+              "ms_per_token": 1e3 * dt / (batch * decode),
+              "quantize": quantize or "none", "kv_cache": kv_cache}
     return batch * decode / dt, batch, detail
 
 
@@ -396,6 +418,7 @@ def bench_engine(model_name: str, n_slots: int, prefill: int, decode: int,
         tokens0 = eng.stats.tokens_generated
         steps0 = eng.stats.steps
         waste0 = eng.stats.tokens_wasted
+        done0 = len(eng.completed)
         submit_all()
         t0 = time.perf_counter()
         eng._admit()                        # batched prefill of all slots
@@ -405,7 +428,11 @@ def bench_engine(model_name: str, n_slots: int, prefill: int, decode: int,
         runs.append({"dt": time.perf_counter() - t0, "admit": t_admit,
                      "produced": eng.stats.tokens_generated - tokens0,
                      "steps": eng.stats.steps - steps0,
-                     "wasted": eng.stats.tokens_wasted - waste0})
+                     "wasted": eng.stats.tokens_wasted - waste0,
+                     # per-rep latency population (ADVICE r4: the median
+                     # rep's latency must describe the same requests as
+                     # its throughput, not all reps + warmup pooled)
+                     "latency": eng.latency_metrics(skip=done0)})
     med = sorted(runs, key=lambda r: r["dt"])[len(runs) // 2]
     produced, dt = med["produced"], med["dt"]
     tps = produced / dt
@@ -417,7 +444,8 @@ def bench_engine(model_name: str, n_slots: int, prefill: int, decode: int,
            "latency_mode": latency_mode,
            "dispatches": med["steps"],
            "tokens_wasted": med["wasted"],
-           "latency": eng.latency_metrics()}
+           "latency": med["latency"],
+           "latency_all_reps": eng.latency_metrics()}
     try:
         # engine-mode MFU / HBM utilization at the serving operating point
         # (n_slots rows): whole-run tok/s x analytic per-token cost
@@ -443,6 +471,17 @@ def main():
                     help="int or 'auto' (per-model static-HBM batch search)")
     ap.add_argument("--vanilla_batch", default=None,
                     help="vanilla baseline batch (defaults to --batch)")
+    ap.add_argument("--vanilla_quantize",
+                    choices=["none", "int8", "int4"], default="int8",
+                    help="vanilla weight quantization — the precision-"
+                    "matched baseline (default int8 = same width as the "
+                    "block side; 'none' gives the legacy bf16 baseline)")
+    ap.add_argument("--vanilla_kv", choices=["bf16", "int8", "int4"],
+                    default="int8",
+                    help="vanilla token-level KV cache dtype (default int8 "
+                    "to match the block side's quantized-cache treatment; "
+                    "its cache is its HBM bound, so this raises its "
+                    "feasible batch)")
     ap.add_argument("--prefill", type=int, default=2048)
     ap.add_argument("--decode", type=int, default=128)
     ap.add_argument("--dtype", default="bfloat16")
@@ -539,7 +578,7 @@ def main():
 
     vanilla_tps, vanilla_batch, van_detail = bench_vanilla(
         args.vanilla, args.vanilla_batch or args.batch, args.prefill,
-        args.decode, args.dtype)
+        args.decode, args.dtype, args.vanilla_quantize, args.vanilla_kv)
     ratio = block_tps / vanilla_tps if vanilla_tps > 0 else 0.0
     with open(args.detail_out, "w") as f:
         json.dump({"block": block_detail, "vanilla": van_detail,
@@ -551,12 +590,15 @@ def main():
                    "regime": {"prefill": args.prefill, "decode": args.decode,
                               "quantize": args.quantize, "kv": args.kv}},
                   f, indent=2)
+    vq = ("" if args.vanilla_quantize == "none"
+          else f"-{args.vanilla_quantize}")
+    vkv = {"int8": "-kv8", "int4": "-kv4"}.get(args.vanilla_kv, "")
     print(json.dumps({
         "metric": f"decode_tokens_per_sec[{args.model}"
                   f"{'-' + args.quantize if args.quantize and args.quantize != 'none' else ''}"
                   f"{ {'int8': '-kv8', 'int4': '-kv4'}.get(args.kv, '') }"
                   f" b{block_batch} "
-                  f"p{args.prefill}/d{args.decode} vs {args.vanilla} "
+                  f"p{args.prefill}/d{args.decode} vs {args.vanilla}{vq}{vkv} "
                   f"b{vanilla_batch}]",
         "value": round(block_tps, 1),
         "unit": "tok/s",

@@ -323,13 +323,18 @@ class ContinuousBatchingEngine:
     def has_work(self) -> bool:
         return bool(self.waiting or self.active)
 
-    def latency_metrics(self) -> dict:
+    def latency_metrics(self, skip: int = 0) -> dict:
         """Serving latency aggregates over completed requests (host wall
         clock): queue wait (submit -> admit), TTFT (submit -> first token)
         and TPOT (per-output-token time after the first). Block-synchronous
         decode emits tokens a window at a time, so TTFT is quantized to
-        the window cadence — these are the honest user-visible numbers."""
-        done = [r for r in self.completed
+        the window cadence — these are the honest user-visible numbers.
+
+        ``skip``: ignore the first ``skip`` completed requests — callers
+        that benchmark in reps snapshot ``len(eng.completed)`` at rep
+        start so the reported latency describes the same population as
+        the rep's throughput (ADVICE r4)."""
+        done = [r for r in self.completed[skip:]
                 if not r.error and r.generated and r.first_token_at]
         if not done:
             return {"completed": 0}

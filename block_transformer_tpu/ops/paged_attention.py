@@ -133,7 +133,12 @@ def _paged_kernel(H: int, Sp: int, ps: int, nbt: int, npp: int, scale: float,
             s_f = jnp.where(last, s_f, _NEG)
             m2 = jnp.maximum(m_new, s_f)
             corr = jnp.exp(m_new - m2)
-            pf = jnp.exp(s_f - m2)                             # 0 off-last
+            # gate explicitly rather than relying on exp(_NEG - m2) -> 0:
+            # for a fully-masked non-last group m_new == s_f == _NEG and
+            # the ratio would be exp(0) = 1, injecting a spurious vf term
+            # (harmless only because the finite _NEG cancels in the
+            # cross-group merge; an -inf sentinel would NaN)
+            pf = jnp.where(last, jnp.exp(s_f - m2), 0.0)
             vf = vf_ref[:].reshape(R, 1, -1)
             l_new = l_new * corr + pf
             a_new = a_new * corr + pf * vf
@@ -182,8 +187,13 @@ def _pick_tiles(B: int, n_virt: int, H: int, ps: int, D: int,
         sc = 2 * nbt * npp * H * ps * 4     # f32 scales
         qo = 2 * nbt * H * Sp * Dp * 2
         valid = nbt * (2 * npp * ps * 4 + Sp * 4)
+        # deferred-write fresh K/V operands (f32 [nbt, H, D] x2); counted
+        # unconditionally so the tile choice is safe whether or not the
+        # caller passes ``fresh`` (ADVICE r4: a tile picked at the VMEM
+        # limit without these could exceed scoped VMEM when fresh is on)
+        fresh_ops = 2 * nbt * H * Dp * 4
         scratch = nbt * H * Sp * (Dp + 2) * 4
-        return 2 * (kv + sc + qo + valid) + scratch
+        return 2 * (kv + sc + qo + valid + fresh_ops) + scratch
 
     f_nbt, f_npp = os.environ.get("BT_PAGED_NBT"), os.environ.get(
         "BT_PAGED_NPP")
@@ -339,6 +349,9 @@ def paged_decode_attention_int8(q, k_q, k_s, v_q, v_s, layer, page_table,
         kv_valid = jnp.ones((B, K), jnp.int32)
     nbt, npp = _pick_tiles(B, n_virt, H, ps, D, max(8, _cdiv(S, 8) * 8))
     if fresh is not None:
+        # the kernel applies the single fresh token's score to every query
+        # row, which is only correct for the S == 1 decode step
+        assert S == 1, f"fresh requires S == 1, got S={S}"
         fresh = tuple(fresh)
     return _paged_attn(q, k_q, k_s.astype(jnp.float32), v_q,
                        v_s.astype(jnp.float32), layer, page_table,

@@ -79,14 +79,23 @@ def block_model_bytes(cfg, batch: int, prefill: int, decode: int,
 
 
 def vanilla_model_bytes(cfg, batch: int, prefill: int, decode: int,
-                        dtype_bytes: int = 2) -> int:
+                        dtype_bytes: int = 2, kv_cache: str = "bf16",
+                        quantize: str = None) -> int:
+    """`kv_cache`/`quantize` mirror bench.py --vanilla_kv/--vanilla_quantize:
+    the precision-matched baseline (VERDICT r4 item 1) stores matmul weights
+    and the token-level KV cache at the same widths the block model gets."""
     S = prefill + decode
-    params = (cfg.num_layers * 12 * cfg.hidden_size ** 2
-              + 2 * cfg.vocab_size * cfg.hidden_size)
-    kv = 2 * cfg.num_layers * batch * cfg.num_heads * S * cfg.head_dim
+    wb = weight_bytes(quantize, dtype_bytes)
+    mat_bytes = wb * (cfg.num_layers * 12 * cfg.hidden_size ** 2
+                      + cfg.vocab_size * cfg.hidden_size)
+    params = cfg.vocab_size * cfg.hidden_size + mat_bytes / dtype_bytes
+    kv_width = {"int8": 1 + 4 / cfg.head_dim,
+                "int4": 0.5 + 4 / cfg.head_dim}.get(kv_cache, dtype_bytes)
+    kv = (2 * cfg.num_layers * batch * cfg.num_heads * S * cfg.head_dim
+          * kv_width / dtype_bytes)
     logits = batch * cfg.vocab_size * 4 * 2
     prefill_act = batch * prefill * cfg.hidden_size * 12
-    return dtype_bytes * (params + kv) + logits + prefill_act
+    return int(dtype_bytes * (params + kv) + logits + prefill_act)
 
 
 def auto_batch(estimate_fn, limit: int = None, margin: float = 0.8,
