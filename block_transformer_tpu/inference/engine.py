@@ -61,8 +61,6 @@ from block_transformer_tpu.ops import masks
 
 import contextlib
 
-_null_ctx = contextlib.nullcontext
-
 
 @dataclass
 class Request:
@@ -230,9 +228,21 @@ class ContinuousBatchingEngine:
         #   fused INT8-KV attention) run per shard at their single-device
         #   numerics.
         self.mesh_impl = mesh_impl if mesh is not None else "single"
-        self._trace_ctx = (ops_linear.pallas_disabled
-                           if self.mesh_impl == "gspmd" and mesh is not None
-                           else _null_ctx)
+        # trace context for every device dispatch: declares the KV mode
+        # (pairing-aware W8A8, ops/linear._use_w8a8) and, for GSPMD mesh
+        # serving, routes quantized matmuls to partitionable XLA paths
+        kvm = "int8" if kv_cache.startswith("paged") else kv_cache
+
+        @contextlib.contextmanager
+        def _ctx():
+            with ops_linear.kv_mode(kvm):
+                if self.mesh_impl == "gspmd" and mesh is not None:
+                    with ops_linear.pallas_disabled():
+                        yield
+                else:
+                    yield
+
+        self._trace_ctx = _ctx
         if mesh is not None:
             self._shard_over(mesh)
 

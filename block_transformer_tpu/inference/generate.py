@@ -357,12 +357,17 @@ def generate_blocks(params, cfg: BlockTransformerConfig, input_ids,
     """
     if fresh_prefill is None:
         fresh_prefill = _fresh_prefill_enabled()
-    return _generate_blocks_jit(
-        params, cfg, input_ids, attention_mask, block_attention_mask,
-        max_blocks=max_blocks, greedy=greedy, temperature=temperature,
-        top_k=top_k, top_p=top_p, key=key,
-        prefill_chunk_blocks=prefill_chunk_blocks, kv_cache=kv_cache,
-        fresh_prefill=bool(fresh_prefill))
+    from block_transformer_tpu.ops import linear as linear_ops
+    # declare the KV mode for pairing-aware W8A8 dispatch; kv_cache is a
+    # static jit arg, so the trace this context wraps is the one the
+    # compiled decision belongs to
+    with linear_ops.kv_mode(kv_cache):
+        return _generate_blocks_jit(
+            params, cfg, input_ids, attention_mask, block_attention_mask,
+            max_blocks=max_blocks, greedy=greedy, temperature=temperature,
+            top_k=top_k, top_p=top_p, key=key,
+            prefill_chunk_blocks=prefill_chunk_blocks, kv_cache=kv_cache,
+            fresh_prefill=bool(fresh_prefill))
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "max_blocks", "greedy",

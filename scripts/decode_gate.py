@@ -180,6 +180,11 @@ def main():
                     help="include the GPTQ-mixed48 row (adds ~3 min "
                     "calibration)")
     ap.add_argument("--bar_pct", type=float, default=0.5)
+    ap.add_argument("--prompt_seed", type=int, default=3,
+                    help="holdout prompt-sampling seed. Repeat the gate "
+                    "with disjoint seeds to put error bars on borderline "
+                    "verdicts (VERDICT r4 item 4: a gate that flips "
+                    "defaults should know its own sigma)")
     ap.add_argument("--only", default=None,
                     help="comma-separated variant names to run (others "
                     "skipped); with --merge this appends rows to an "
@@ -223,7 +228,7 @@ def main():
     # ---- prompts from the holdout corpus ----
     mm = MMapIndexedDataset(args.corpus)
     data, lengths, starts = mm.token_view()
-    rng = np.random.default_rng(3)
+    rng = np.random.default_rng(args.prompt_seed)
     prompts = []
     while len(prompts) < args.batch:
         i = int(rng.integers(len(lengths)))
@@ -331,6 +336,7 @@ def main():
 
     lp_ref = fp32_lp(toks_ref)
     report = {"checkpoint_step": step, "batch": args.batch,
+              "prompt_seed": args.prompt_seed,
               "prompt_len": args.prompt_len, "gen_tokens": args.gen_tokens,
               "gate": f"|fp32_logprob_delta| <= {args.bar_pct}% relative",
               "fp32_mean_logprob_ref": lp_ref, "variants": {}}
