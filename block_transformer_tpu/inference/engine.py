@@ -110,7 +110,7 @@ class ContinuousBatchingEngine:
                  page_size: int = 256, pool_pages: Optional[int] = None,
                  mesh=None, mesh_impl: str = "gspmd",
                  latency_mode: bool = False, window_growth: float = 2.0,
-                 overlap_streams: int = 1):
+                 overlap_streams: int = 1, admit_chunk: int = 64):
         self.params = params
         self.cfg = cfg
         self.n_slots = n_slots
@@ -140,6 +140,17 @@ class ContinuousBatchingEngine:
         self.latency_mode = latency_mode
         self.window_growth = max(1.0, window_growth)
         self._window_cap = self.sync_blocks if latency_mode else self.max_window
+        # Admission-prefill chunking (VERDICT r4 item 5): one batched
+        # prefill over ALL admitted prompts is a G-row program where G is
+        # whatever happened to be admissible — at 128-384 slots that is
+        # both an unbounded compile-shape family (every distinct G
+        # retraces) and a multi-second single dispatch (TTFT floor).
+        # Groups are split into chunks of <= admit_chunk rows, each padded
+        # up to the next power of two by duplicating its last row
+        # (duplicate scatter indices write identical values, so the
+        # result is deterministic) — compile shapes are the fixed family
+        # {1, 2, 4, ..., admit_chunk} x buckets.
+        self.admit_chunk = max(1, admit_chunk)
         n = cfg.n_embedding_tokens
         ph = cfg.embedder.projection_hidden_size
         # activation dtype: follow a (never-quantized) embedder table — the
@@ -602,40 +613,51 @@ class ContinuousBatchingEngine:
         if skipped:
             self.waiting = skipped + self.waiting
         for Nb, batch in groups.items():
-            ids = np.concatenate([
-                np.pad(d["input_ids"], ((0, 0), (0, Nb - N), (0, 0)),
-                       constant_values=self.cfg.pad_token_id)
-                for _, _, d, N in batch])
-            att = np.concatenate([
-                np.pad(d["attention_mask"], ((0, 0), (0, Nb - N), (0, 0)))
-                for _, _, d, N in batch])
-            bam = np.concatenate([
-                np.pad(d["block_attention_mask"], ((0, 0), (0, Nb - N)))
-                for _, _, d, N in batch])
-            slots = np.asarray([s for s, _, _, _ in batch], np.int32)
-            lens = np.asarray([N for _, _, _, N in batch], np.int32)
-            with self._trace_ctx():
-                self.cache, self.kv_valid, self.next_embeds = self._prefill(
-                    self.params, self.cache, self.kv_valid, self.next_embeds,
-                    jnp.asarray(slots), jnp.asarray(lens), jnp.asarray(ids),
-                    jnp.asarray(att), jnp.asarray(bam))
-            sl = jnp.asarray(slots)
-            self.slot_len = self.slot_len.at[sl].set(jnp.asarray(lens))
-            self.alive = self.alive.at[sl].set(True)
-            self.blocks_left = self.blocks_left.at[sl].set(jnp.asarray(
-                [-(-r.max_new_tokens // L) for _, r, _, _ in batch],
-                np.int32))
-            import time
-            now = time.perf_counter()
-            for slot, req, _, _ in batch:
-                self.active[slot] = req
-                self._dispatched[slot] = 0
-                req.admitted_at = now
-                self.stats.prompts_admitted += 1
-            if self.latency_mode:
-                # fresh admissions restart the window ramp so their first
-                # tokens arrive one sync_blocks window into decode
-                self._window_cap = self.sync_blocks
+            for c0 in range(0, len(batch), self.admit_chunk):
+                self._prefill_chunk(Nb, batch[c0:c0 + self.admit_chunk])
+
+    def _prefill_chunk(self, Nb: int, batch) -> None:
+        """Batched prefill of one admission chunk (same Nb bucket), padded
+        to the next power of two by duplicating the last row (identical
+        duplicate scatter writes — deterministic result, fixed compile-
+        shape family)."""
+        L = self.cfg.block_length
+        G = len(batch)
+        Gp = 1 << (G - 1).bit_length()           # next power of two
+        padded = batch + [batch[-1]] * (Gp - G)
+        ids = np.concatenate([
+            np.pad(d["input_ids"], ((0, 0), (0, Nb - N), (0, 0)),
+                   constant_values=self.cfg.pad_token_id)
+            for _, _, d, N in padded])
+        att = np.concatenate([
+            np.pad(d["attention_mask"], ((0, 0), (0, Nb - N), (0, 0)))
+            for _, _, d, N in padded])
+        bam = np.concatenate([
+            np.pad(d["block_attention_mask"], ((0, 0), (0, Nb - N)))
+            for _, _, d, N in padded])
+        slots = np.asarray([s for s, _, _, _ in padded], np.int32)
+        lens = np.asarray([N for _, _, _, N in padded], np.int32)
+        with self._trace_ctx():
+            self.cache, self.kv_valid, self.next_embeds = self._prefill(
+                self.params, self.cache, self.kv_valid, self.next_embeds,
+                jnp.asarray(slots), jnp.asarray(lens), jnp.asarray(ids),
+                jnp.asarray(att), jnp.asarray(bam))
+        sl = jnp.asarray(slots[:G])
+        self.slot_len = self.slot_len.at[sl].set(jnp.asarray(lens[:G]))
+        self.alive = self.alive.at[sl].set(True)
+        self.blocks_left = self.blocks_left.at[sl].set(jnp.asarray(
+            [-(-r.max_new_tokens // L) for _, r, _, _ in batch], np.int32))
+        import time
+        now = time.perf_counter()
+        for slot, req, _, _ in batch:
+            self.active[slot] = req
+            self._dispatched[slot] = 0
+            req.admitted_at = now
+            self.stats.prompts_admitted += 1
+        if self.latency_mode:
+            # fresh admissions restart the window ramp so their first
+            # tokens arrive one sync_blocks window into decode
+            self._window_cap = self.sync_blocks
 
     def _target_window(self) -> int:
         """Blocks until the next scheduling event the host can foresee:

@@ -520,3 +520,27 @@ def test_engine_paged_first_fit_admission():
     eng.run(max_steps=100)
     assert not eng.has_work()
     assert reqs[uid_big].generated and reqs[uid_small].generated
+
+
+def test_engine_chunked_admission_matches_unchunked():
+    """Admission chunking (admit_chunk + power-of-2 duplicate padding)
+    must be invisible in results: 5 same-bucket prompts admitted as
+    chunks of 2 (2+2+2-with-dup-pad) produce exactly the tokens the
+    one-shot admission produces."""
+    cfg, params = _setup(seed=5)
+    rng = np.random.default_rng(5)
+    prompts = [rng.integers(1, VOCAB, size=8) for _ in range(5)]
+
+    def run(admit_chunk):
+        eng = ContinuousBatchingEngine(params, cfg, n_slots=5, max_blocks=12,
+                                       admit_chunk=admit_chunk)
+        for p in prompts:
+            eng.submit(p, 8)
+        reqs = list(eng.waiting)
+        eng.run(max_steps=100)
+        assert not eng.has_work()
+        return [r.generated for r in reqs]
+
+    chunked = run(2)
+    oneshot = run(64)
+    assert chunked == oneshot
