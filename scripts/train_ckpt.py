@@ -33,6 +33,15 @@ def main():
                     "larger models ride lower peaks)")
     ap.add_argument("--n_checkpoints", type=int, default=5)
     ap.add_argument("--vocab", type=int, default=512)
+    ap.add_argument("--vanilla", action="store_true",
+                    help="--model names a vanilla config (vanilla_31/70/"
+                    "160/410): train the GPTNeoX baseline instead — e.g. "
+                    "the 85M block checkpoint's pairing (vanilla_70) for "
+                    "the long-context positionwise-ppl comparison")
+    ap.add_argument("--micro_batch", type=int, default=None,
+                    help="micro batch (grad accum); vanilla full-sequence "
+                    "attention residuals need a small one (default 16 "
+                    "with --vanilla)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -49,25 +58,39 @@ def main():
     qr = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(qr)
 
-    from block_transformer_tpu.config import get_config
+    from block_transformer_tpu.config import get_config, get_vanilla_config
     from block_transformer_tpu.train.trainer import Trainer, TrainerConfig
 
-    cfg = get_config(args.model, vocab_size=args.vocab,
-                     max_length=args.max_length)
     out = os.path.join(args.out, args.model)
+    tkw = {}
+    if args.vanilla:
+        cfg = get_vanilla_config(args.model, vocab_size=args.vocab,
+                                 max_position_embeddings=args.max_length)
+        block_length = 1
+        tkw["micro_batch_size"] = args.micro_batch or min(16, args.batch)
+    else:
+        cfg = get_config(args.model, vocab_size=args.vocab,
+                         max_length=args.max_length)
+        block_length = cfg.block_length
+        if args.micro_batch:
+            tkw["micro_batch_size"] = args.micro_batch
     tcfg = TrainerConfig(output_dir=out, learning_rate=args.lr,
                          num_train_steps=args.steps,
                          num_warmup_steps=max(100, args.steps // 20),
                          total_batch_size=args.batch,
                          max_length=args.max_length,
                          save_steps=max(1, args.steps // args.n_checkpoints),
-                         logging_steps=25, param_dtype="float32")
+                         logging_steps=25, param_dtype="float32", **tkw)
     ds = qr.make_dataset(qr.load_corpus(args.corpus), args.max_length,
-                         cfg.block_length)
+                         block_length)
     print(f"[train_ckpt] {args.model} for {args.steps} steps "
           f"(b{args.batch} x {args.max_length}) -> {out}")
     t0 = time.time()
-    trainer = Trainer(cfg, tcfg, ds)
+    if args.vanilla:
+        from block_transformer_tpu.train.vanilla_trainer import VanillaTrainer
+        trainer = VanillaTrainer(cfg, tcfg, ds)
+    else:
+        trainer = Trainer(cfg, tcfg, ds)
     trainer.train(resume=True)
     print(f"[train_ckpt] done in {time.time()-t0:.0f}s")
 
