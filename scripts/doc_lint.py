@@ -41,6 +41,12 @@ _GLOBBY = re.compile(r"[*<>]|\.\.|r0N")
 # OUR claim-bearing docs are linted.
 _EXCLUDE_MD = {"VERDICT.md", "ADVICE.md"}
 
+# A citation on a line carrying this marker is explicitly declaring the
+# artifact GONE (the round-4 container wipe destroyed every untracked
+# results/ file) — not silently pretending it exists. The lint's job is
+# to catch the silent case; an annotated loss is honest provenance.
+_LOST = "[artifact-lost]"
+
 
 def _expand_braces(p):
     m = re.search(r"\{([\w,.-]+)\}", p)
@@ -65,7 +71,12 @@ def cited_paths():
             text = open(os.path.join(REPO, md), encoding="utf-8").read()
         except OSError:
             continue
-        for lineno, line in enumerate(text.splitlines(), 1):
+        lines = text.splitlines()
+        for lineno, line in enumerate(lines, 1):
+            # the loss annotation may wrap onto a continuation line of the
+            # same sentence — look at this line and the next two
+            if any(_LOST in x for x in lines[lineno - 1:lineno + 2]):
+                continue
             for m in _CITE.finditer(line):
                 p = m.group(0).rstrip(_STRIP)
                 if _GLOBBY.search(p):
