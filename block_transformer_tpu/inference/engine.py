@@ -426,15 +426,25 @@ class ContinuousBatchingEngine:
                     # page-granular Pallas copy: index maps place each
                     # row's pages directly, pool aliased in place — the
                     # XLA gather-indexed scatter serialized per page
-                    # (paged admit measured 0.29 s vs 0.13 s contiguous)
+                    # (paged admit measured 0.29 s vs 0.13 s contiguous).
+                    # BT_PAGED_PROBE_NOCOPY=1 (probe only, trace-time,
+                    # scripts/paged_admit_probe.py) skips the placement
+                    # so its cost can be isolated on chip — the pool is
+                    # then WRONG; never set outside the probe.
+                    import os as _os
                     from block_transformer_tpu.ops import paged_attention
                     interp = jax.devices()[0].platform != "tpu"
-                    nk, nks, nv_, nvs = paged_attention.paged_page_copy_int8(
-                        cache.k, cache.k_scale, cache.v, cache.v_scale,
-                        pt_rows, row_cache.k, row_cache.k_scale,
-                        row_cache.v, row_cache.v_scale, interpret=interp)
-                    new_cache = cache._replace(k=nk, v=nv_, k_scale=nks,
-                                               v_scale=nvs)
+                    if _os.environ.get("BT_PAGED_PROBE_NOCOPY") == "1":
+                        new_cache = cache
+                    else:
+                        nk, nks, nv_, nvs = \
+                            paged_attention.paged_page_copy_int8(
+                                cache.k, cache.k_scale, cache.v,
+                                cache.v_scale, pt_rows, row_cache.k,
+                                row_cache.k_scale, row_cache.v,
+                                row_cache.v_scale, interpret=interp)
+                        new_cache = cache._replace(k=nk, v=nv_, k_scale=nks,
+                                                   v_scale=nvs)
                 else:
                     def paged_vals(a):
                         if a.ndim == 5:
