@@ -3,8 +3,7 @@
 #   1. retry the p128/d2048 matched-precision bench (r5a's attempt died
 #      with its traceback swallowed by tail; full log this time)
 #   2. paged admission decomposition probe (VERDICT r4 item 8)
-#   3. 85M multi-checkpoint zero-shot sweep refresh (this round's ckpt)
-#   4. engine_cpu_ratio re-run on a quiet host (the earlier one ran
+#   3. engine_cpu_ratio re-run on a quiet host (the earlier one ran
 #      while the trainer was feeding and measured noisy declining reps)
 set -x
 cd /root/repo || exit 1
@@ -26,14 +25,7 @@ mkdir -p results
   timeout 5400 python scripts/paged_admit_probe.py \
       --out results/paged_admit_probe.json 2>&1 | grep -v WARNING | tail -12
 
-  echo "--- 3. 85M zero-shot sweep refresh ---"
-  timeout 5400 python scripts/eval_zero_shot_task.py \
-      --model block_main_b4_85 --sweep results/scale85/block_main_b4_85 \
-      --byte_corpus /root/corpus/pybytes_holdout --vocab_size 512 \
-      --max_length 1024 --out results/scale85/sweep.json 2>&1 \
-      | grep -v WARNING | tail -12
-
-  echo "--- 4. engine_cpu_ratio on a quiet host ---"
+  echo "--- 3. engine_cpu_ratio on a quiet host ---"
   timeout 3600 python scripts/engine_cpu_ratio.py \
       --out results/engine_cpu_ratio.json 2>&1 | grep -v WARNING | tail -3
 
