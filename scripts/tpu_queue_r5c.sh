@@ -9,7 +9,7 @@ LOG=results/tpu_queue_r5c.log
 mkdir -p results
 {
   echo "=== tpu_queue_r5c $(date -u) ==="
-  while pgrep -f "tpu_queue_r5a.sh\|tpu_queue_r5b.sh" >/dev/null; do
+  while pgrep -f "tpu_queue_r5[ab].sh" >/dev/null; do
     sleep 60
   done
   echo "--- chip free $(date -u) ---"
