@@ -16,8 +16,8 @@ mkdir -p results
   for SEED in 17 29; do
     timeout 5400 python scripts/decode_gate.py --model block_main_b4_85 \
         --model_dir results/scale85/block_main_b4_85 --lr 3e-4 --steps 5000 \
-        --gptq --prompt_seed $SEED \
-        --only int8kv,int4kv,mixed48_int8kv,gptq_mixed48_int8kv --merge \
+        --prompt_seed $SEED \
+        --only int8kv,int4kv,mixed48_int8kv --merge \
         --out results/decode_gate_85m_s$SEED.json \
         2>&1 | grep -v WARNING | tail -5
   done
