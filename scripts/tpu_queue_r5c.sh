@@ -17,9 +17,14 @@ mkdir -p results
     timeout 5400 python scripts/decode_gate.py --model block_main_b4_85 \
         --model_dir results/scale85/block_main_b4_85 --lr 3e-4 --steps 5000 \
         --prompt_seed $SEED \
-        --only int8kv,int4kv,mixed48_int8kv --merge \
+        --only int8kv,int4kv,int8w_int8kv,mixed48_int8kv --merge \
         --out results/decode_gate_85m_s$SEED.json \
         2>&1 | grep -v WARNING | tail -5
   done
+  echo "--- conservative-profile bench row (int8 KV + pairing-aware W8A8) ---"
+  timeout 5400 python bench.py --kv int8 \
+      --detail_out BENCH_DETAIL_default_int8kv_r5.json 2>&1 \
+      | grep -v WARNING | tail -4
+
   echo "=== r5c done $(date -u) ==="
 } >> "$LOG" 2>&1
