@@ -490,16 +490,20 @@ def main():
                     default="int8",
                     help="weight quantization (BASELINE.json operating "
                     "point: int8 weights + int8 KV)")
-    ap.add_argument("--kv", choices=["bf16", "int8", "int4"], default="int4",
-                    help="global block-level KV cache dtype. Default int4, "
-                         "gated at scale: the ONE decode-path gate passes "
-                         "int4 KV at +0.022%% (and the full headline combo "
-                         "at +0.483%%) on the 85M/5k-step checkpoint "
-                         "(results/decode_gate_85m.json) — while the SAME "
-                         "gate fails it on 5M-class checkpoints (+1.5-5.5%%, "
-                         "results/decode_gate.json): gate your own "
-                         "checkpoint with scripts/decode_gate.py and use "
-                         "--kv int8 for small models (QUALITY.md)")
+    ap.add_argument("--kv", choices=["bf16", "int8", "int4"], default="int8",
+                    help="global block-level KV cache dtype. Default int8 "
+                         "(round-5 re-derivation): repeating the ONE "
+                         "decode-path gate across 3 disjoint prompt seeds "
+                         "on the 85M checkpoint shows every int4-KV "
+                         "pairing is prompt-set-noise-dominated (headline "
+                         "combo 0.48/0.13/1.62%% across seeds, pooled mean "
+                         "0.74%% > the 0.5%% bar; "
+                         "results/decode_gate_85m_seeds.json) while the "
+                         "int8-KV rows pass with margin. int4 is the "
+                         "measured max-throughput opt-in (14,384 tok/s at "
+                         "b384 vs the int8 default's b256 row): gate your "
+                         "own checkpoint with scripts/decode_gate.py "
+                         "(QUALITY.md)")
     ap.add_argument("--engine_kv", default=None,
                     help="engine-mode cache override: bf16/int8/int4/paged "
                          "(default: --kv; int4 falls back to int8 here - "

@@ -199,17 +199,19 @@ def _use_w8a8(m: int) -> bool:
         return m >= int(env)
     # Pairing-aware default (VERDICT r4 item 4): W8A8-decode is judged by
     # the ONE uniform decode gate (scripts/decode_gate.py — fp32-scored
-    # continuation logprob delta). On the 85M/5k checkpoint it PASSes in
-    # the headline INT4-KV pairing (+0.483%) but sits at the bar's wrong
-    # side with INT8 KV (+0.507%; results/decode_gate_85m.json) — so with
-    # an INT8 KV cache declared (ops.linear.kv_mode, set by the
-    # generate/engine entry points) the default becomes prefill-only
-    # (M >= 2048, ppl gate -0.011%); every other pairing keeps decode
-    # included at M >= 384 (+5.4% tok/s at the b384 headline).
+    # continuation logprob delta), repeated over 3 disjoint prompt seeds
+    # on the 85M checkpoint (round 5). The w8a8+int8KV pairing measures
+    # 0.507/0.533/0.049% (pooled 0.36 +/- 0.27 — the bar sits inside the
+    # noise band), so with an INT8 KV cache declared (ops.linear.kv_mode,
+    # set by the generate/engine entry points) the serving default stays
+    # conservative: prefill-only W8A8 (M >= 2048, ppl gate -0.011%).
+    # Every other pairing keeps decode included at M >= 384 (+5.4% tok/s
+    # at the b384 max-throughput point — itself an opt-in config whose
+    # own KV rows are noise-dominated; QUALITY.md round-5 table).
     # History: round 3 reverted 384 -> 2048 on a 79.3% greedy-agreement
-    # reading; round 4's gate re-derived 384; round 5 made the int8-KV
-    # caveat mechanical instead of prose. Multi-seed error bars on the
-    # borderline rows: results/decode_gate_85m_seeds.json / QUALITY.md.
+    # reading; round 4's gate re-derived 384; round 5 measured the
+    # gate's own sigma and made the int8-KV caveat mechanical. Seeds:
+    # results/decode_gate_85m_seeds.json.
     default = 2048 if _KV_MODE.get() == "int8" else 384
     return m >= default
 
