@@ -59,6 +59,10 @@ def main():
             verdict = "FAIL"
         else:
             verdict = "BORDERLINE"
+        if len(vals) == 1:
+            # single run: no error bars — the verdict is the point
+            # estimate's and must not flip defaults on its own
+            verdict += "(n=1)"
         out["variants"][name] = {
             "n": len(vals), "mean_pct": mean, "std_pct": std,
             "min_pct": float(vals.min()), "max_pct": float(vals.max()),
