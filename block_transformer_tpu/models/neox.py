@@ -527,6 +527,28 @@ def neox_stack(params, x, *, cfg: NeoXConfig, mask, positions,
         use_fused = (_fused_kv_attn_enabled(x.shape[1], cache.k.shape[3])
                      and kv_dtype == jnp.int8)
         layers = params["layers"]
+        # Per-row-offset single-position writes (the serving engine's
+        # decode: write_pos is the [B] slot-frontier vector): the XLA
+        # lowering of vmap(dynamic_update_slice) serializes per row —
+        # measured as the engine's ~5,000 tok/s ceiling, FLAT from 128
+        # to 256 slots (BENCH_DETAIL_engine_s128/s256: ~72 ms per block
+        # step at B=128 where the static b384 step costs 37 ms). The
+        # paged pool hit the identical wall and fixed it with a Pallas
+        # RMW scatter whose index maps resolve the target row; the
+        # contiguous cache IS that layout with page=row — so reuse
+        # paged_write_int8 with an identity "page table" (pool [L,B,H,
+        # cap,D], page=arange(B), off=write_pos). Sub-tile constraint:
+        # cap must divide into the kernel's 32-sublane/128-lane RMW
+        # blocks (engine capacities are 128-lane-aligned).
+        vec_pos = getattr(write_pos, "ndim", 0) == 1
+        cap_ = cache.k.shape[3]
+        vsub_ok = cap_ % min(32, cap_) == 0 and cap_ % min(128, cap_) == 0
+        use_write_kernel = (vec_pos and x.shape[1] == 1
+                            and kv_dtype == jnp.int8 and vsub_ok)
+        if use_write_kernel:
+            from block_transformer_tpu.ops import paged_attention
+            interp_w = jax.devices()[0].platform != "tpu"
+            row_ids = jnp.arange(x.shape[0], dtype=jnp.int32)
 
         def body(carry, i):
             h, ck, cv, cks, cvs = carry
@@ -535,10 +557,16 @@ def neox_stack(params, x, *, cfg: NeoXConfig, mask, positions,
                                 positions=positions)
             kq, ks = quantize_kv(k, kv_dtype)
             vq, vs = quantize_kv(v, kv_dtype)
-            ck = _write_kv(ck, kq, i, write_pos)
-            cv = _write_kv(cv, vq, i, write_pos)
-            cks = _write_kv(cks, ks, i, write_pos)
-            cvs = _write_kv(cvs, vs, i, write_pos)
+            if use_write_kernel:
+                ck, cks, cv, cvs = paged_attention.paged_write_int8(
+                    ck, cks, cv, cvs, i, row_ids, write_pos,
+                    kq[:, :, 0, :], ks[:, :, 0], vq[:, :, 0, :],
+                    vs[:, :, 0], interpret=interp_w)
+            else:
+                ck = _write_kv(ck, kq, i, write_pos)
+                cv = _write_kv(cv, vq, i, write_pos)
+                cks = _write_kv(cks, ks, i, write_pos)
+                cvs = _write_kv(cvs, vs, i, write_pos)
             if use_fused:
                 from block_transformer_tpu.ops import decode_attention
                 attn = decode_attention.decode_attention_int8_stacked(
