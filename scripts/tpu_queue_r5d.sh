@@ -3,7 +3,11 @@
 # contiguous-cache Pallas write fix (the s128-s384 runs in r5a measured
 # the before-curve: ~5,000 tok/s FLAT across slot counts — the
 # serialized per-row XLA cache scatter). Also re-measures 16 slots for
-# a full after-curve.
+# a full after-curve. s384 is HBM-infeasible with the engine's int8
+# contiguous cache (2x12x384x16x640x128 = 12.1 GB + int8 params; the
+# static b384 headline rides INT4 KV, which engine state cannot cross
+# jit boundaries with on this platform) — r5a's s384 attempt crashed on
+# exactly that; the after-curve tops at 256.
 set -x
 cd /root/repo || exit 1
 LOG=results/tpu_queue_r5d.log
@@ -14,7 +18,7 @@ mkdir -p results
     sleep 60
   done
   echo "--- chip free $(date -u) ---"
-  for S in 16 128 384; do
+  for S in 16 128 256; do
     timeout 5400 python bench.py --engine --engine_only --engine_slots $S \
         --engine_kv int8 --detail_out BENCH_DETAIL_engine_s${S}_wk.json \
         2>&1 | grep -v WARNING | tail -3
