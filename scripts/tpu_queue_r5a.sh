@@ -75,13 +75,13 @@ mkdir -p results
 
   echo "--- 6a. 300M-class train (block_main_b4_300, 2000 steps) ---"
   timeout 10800 python scripts/train_ckpt.py --model block_main_b4_300 \
-      --steps 1500 --batch 16 --lr 2e-4 --n_checkpoints 2 \
+      --steps 2000 --batch 16 --lr 2e-4 --n_checkpoints 2 \
       --out results/scale300 2>&1 | grep -v WARNING | tail -3
 
   echo "--- 6b. decode gate 300M (headline variants) ---"
   timeout 7200 python scripts/decode_gate.py --model block_main_b4_300 \
-      --model_dir results/scale300/block_main_b4_300 --lr 2e-4 --steps 1500 \
-      --w8a8 --batch 128 --prompt_seed 3 \
+      --model_dir results/scale300/block_main_b4_300 --lr 2e-4 --steps 2000 \
+      --w8a8 --batch 192 --prompt_seed 3 \
       --only int8kv,int4kv,int8w_int8kv,int8w_int4kv,mixed48_int4kv,w8a8_int8w_int8kv,w8a8_int8w_int4kv \
       --out results/decode_gate_300m.json 2>&1 | grep -v WARNING | tail -10
 
