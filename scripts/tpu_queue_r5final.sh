@@ -25,24 +25,9 @@ mkdir -p results
         2>&1 | grep -v WARNING | tail -6
   done
 
-  echo "--- conservative-profile bench (the new int8-KV default) ---"
-  timeout 3600 python bench.py --kv int8 \
-      --detail_out BENCH_DETAIL_default_int8kv_r5.json 2>&1 \
-      | grep -v WARNING | tail -4
-
   echo "--- engine after-curve: 128 slots with the Pallas write ---"
   timeout 3600 python bench.py --engine --engine_only --engine_slots 128 \
       --engine_kv int8 --detail_out BENCH_DETAIL_engine_s128_wk.json \
-      2>&1 | grep -v WARNING | tail -3
-
-  echo "--- p128/d2048 matched-precision retry (full log) ---"
-  timeout 3600 python bench.py --prefill 128 --decode 2048 \
-      --detail_out BENCH_DETAIL_vanilla_int8_d2048.json 2>&1 \
-      | grep -v WARNING | tail -30
-
-  echo "--- engine after-curve: 16 slots ---"
-  timeout 2400 python bench.py --engine --engine_only --engine_slots 16 \
-      --engine_kv int8 --detail_out BENCH_DETAIL_engine_s16_wk.json \
       2>&1 | grep -v WARNING | tail -3
 
   echo "=== r5final done $(date -u) ==="
